@@ -1,0 +1,163 @@
+"""Gaussian primitive math: quaternions, covariances, Mip-Splatting filters.
+
+Reference semantics:
+- quaternion -> rotation: utils/general_utils.py:80-101 (w,x,y,z layout).
+- covariance build: cuda_rasterizer/forward.cu:270-304 (Sigma = R S^2 R^T).
+- 3D filter fusion: scene/gaussian_model.py:117-166.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quat_to_rotmat(q):
+    """Unit-normalize quaternion(s) (w,x,y,z) and convert to rotation matrices.
+
+    q: (..., 4) -> (..., 3, 3). Matches utils/general_utils.py:80-101.
+    """
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z),
+            2 * (x * y - r * z),
+            2 * (x * z + r * y),
+            2 * (x * y + r * z),
+            1 - 2 * (x * x + z * z),
+            2 * (y * z - r * x),
+            2 * (x * z - r * y),
+            2 * (y * z + r * x),
+            1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return R.reshape(q.shape[:-1] + (3, 3))
+
+
+def quat_to_rotmat_raw(q):
+    """Quaternion -> rotation WITHOUT normalization.
+
+    The rasterizer preprocess intentionally skips normalization
+    (forward.cu:279 — commented-out division), relying on the model applying
+    torch.nn.functional.normalize first. Keep both entry points so parity
+    tests can match either call site.
+    """
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z),
+            2 * (x * y - r * z),
+            2 * (x * z + r * y),
+            2 * (x * y + r * z),
+            1 - 2 * (x * x + z * z),
+            2 * (y * z - r * x),
+            2 * (x * z - r * y),
+            2 * (y * z + r * x),
+            1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return R.reshape(q.shape[:-1] + (3, 3))
+
+
+def build_covariance(scales, quats, scale_modifier=1.0):
+    """World-space 3x3 covariance Sigma = R diag(s^2) R^T (forward.cu:270-304).
+
+    scales: (..., 3) post-activation (positive) scales.
+    quats:  (..., 4) rotations (will NOT be re-normalized; pass normalized).
+    Returns (..., 3, 3).
+    """
+    R = quat_to_rotmat_raw(quats)
+    s2 = jnp.square(scales * scale_modifier)
+    return jnp.einsum("...ij,...j,...kj->...ik", R, s2, R)
+
+
+def cov3d_to_sym6(cov):
+    """Pack (...,3,3) symmetric covariance into the reference's 6-float layout
+    [xx, xy, xz, yy, yz, zz] (forward.cu:296-303)."""
+    return jnp.stack(
+        [
+            cov[..., 0, 0],
+            cov[..., 0, 1],
+            cov[..., 0, 2],
+            cov[..., 1, 1],
+            cov[..., 1, 2],
+            cov[..., 2, 2],
+        ],
+        axis=-1,
+    )
+
+
+def sym6_to_cov3d(sym6):
+    xx, xy, xz, yy, yz, zz = jnp.moveaxis(sym6, -1, 0)
+    row0 = jnp.stack([xx, xy, xz], axis=-1)
+    row1 = jnp.stack([xy, yy, yz], axis=-1)
+    row2 = jnp.stack([xz, yz, zz], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+# ---- Mip-Splatting 3D filter (scene/gaussian_model.py:117-166) --------------
+
+
+def scaling_with_3d_filter(scales, filter_3d):
+    """sqrt(s^2 + f^2)  (gaussian_model.py:117-122)."""
+    return jnp.sqrt(jnp.square(scales) + jnp.square(filter_3d))
+
+
+def opacity_coef_3d_filter(scales, filter_3d):
+    """Opacity compensation sqrt(det(S^2)/det(S^2 + f^2 I))
+    (gaussian_model.py:143-154). filter_3d: (...,1)."""
+    s2 = jnp.square(scales)
+    det1 = jnp.prod(s2, axis=-1)
+    det2 = jnp.prod(s2 + jnp.square(filter_3d), axis=-1)
+    return jnp.sqrt(det1 / det2)
+
+
+def fuse_3d_filter(scales, opacity, filter_3d):
+    """Fused getter (gaussian_model.py:157-166): returns (scales', opacity')."""
+    s2 = jnp.square(scales)
+    f2 = jnp.square(filter_3d)
+    s2f = s2 + f2
+    coef = jnp.sqrt(jnp.prod(s2, axis=-1) / jnp.prod(s2f, axis=-1))
+    return jnp.sqrt(s2f), opacity * coef[..., None]
+
+
+def compute_3d_filter(xyz, cameras):
+    """Per-point Mip 3D filter width (scene/gaussian_model.py:180-232).
+
+    For every point: the minimum camera-space depth over all cameras where
+    the point is in front (z > 0.2) and inside a 15%-padded image rectangle;
+    invisible points get the max of visible distances. filter = min_z /
+    max_focal * sqrt(0.2).
+
+    cameras: list of core.camera.Camera (python loop: runs at setup time, not
+    in the training hot loop — matches the reference's @torch.no_grad helper).
+    Returns (P, 1).
+    """
+    P = xyz.shape[0]
+    distance = jnp.full((P,), 1e5, jnp.float32)
+    valid_any = jnp.zeros((P,), bool)
+    focal_length = 0.0
+    for cam in cameras:
+        W, H = cam.width, cam.height
+        focal_x = W / (2.0 * jnp.tan(cam.fovx / 2.0))
+        focal_y = H / (2.0 * jnp.tan(cam.fovy / 2.0))
+        Rw2c = jnp.asarray(cam.R, jnp.float32).T
+        xyz_cam = xyz @ Rw2c.T + jnp.asarray(cam.T, jnp.float32)[None, :]
+        z = xyz_cam[:, 2]
+        valid_depth = z > 0.2
+        zc = jnp.maximum(z, 0.001)
+        x = xyz_cam[:, 0] / zc * focal_x + W / 2.0
+        y = xyz_cam[:, 1] / zc * focal_y + H / 2.0
+        in_screen = (x >= -0.15 * W) & (x <= 1.15 * W) & (y >= -0.15 * H) & (y <= 1.15 * H)
+        valid = valid_depth & in_screen
+        distance = jnp.where(valid, jnp.minimum(distance, zc), distance)
+        valid_any = valid_any | valid
+        focal_length = jnp.maximum(focal_length, focal_x)
+    max_visible = jnp.max(jnp.where(valid_any, distance, -jnp.inf))
+    # if nothing is visible at all, fall back to the 1e5 sentinel
+    max_visible = jnp.where(jnp.isfinite(max_visible), max_visible, 1e5)
+    distance = jnp.where(valid_any, distance, max_visible)
+    filter_3d = distance / focal_length * (0.2**0.5)
+    return filter_3d[:, None]

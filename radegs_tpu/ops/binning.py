@@ -1,0 +1,165 @@
+"""Static-shape tile binning — the TPU replacement for the reference's
+dynamic duplicate -> radix-sort -> tile-ranges scheduler
+(rasterizer_impl.cu:70-173, 350-391).
+
+XLA needs static shapes, so the GPU design ("allocate num_rendered entries,
+radix-sort 64-bit keys") is re-cast as:
+
+1. ``duplicate``: every Gaussian owns a contiguous run of `tiles_touched`
+   slots inside a fixed instance budget ``B`` (exclusive prefix sum of
+   tile-rect areas).  A scatter-of-ones + cumsum recovers, for each slot,
+   the owning Gaussian; the slot's offset inside the run enumerates the
+   rect's tiles row-major — exactly duplicateWithKeys (rasterizer_impl.cu:
+   70-111) without atomics or dynamic allocation.
+2. ``sort``: one stable two-key lexicographic sort by (tile_id, depth_rank)
+   where depth_rank comes from a single global depth argsort — equivalent
+   to the reference's 64-bit [tile | float-bits(depth)] radix key
+   (rasterizer_impl.cu:102-107) but without 64-bit keys.
+3. ``ranges``: per-tile [start, count) via searchsorted — identifyTileRanges
+   (rasterizer_impl.cu:151-173).
+4. ``gather``: a [T, K] per-tile index matrix (front-to-back order, -1 pad)
+   for renderers that prefer rectangular layouts.
+
+Overflow policy ("no silent caps"): if the true instance count exceeds B,
+the trailing instances (of the *largest-area* Gaussians' last tiles) are
+dropped and ``n_overflow`` reports how many.  Same for per-tile counts
+beyond K (``tile_overflow``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TILE = 16
+
+
+class TileBinning(NamedTuple):
+    # flat instance arrays, sorted by (tile, depth):
+    gauss_id: Any  # (B,) int32 gaussian index, -1 for unused slots
+    tile_id: Any  # (B,) int32, num_tiles for unused slots
+    tile_start: Any  # (T,) int32 first instance of each tile
+    tile_count: Any  # (T,) int32 instances per tile
+    # rectangular per-tile layout:
+    tile_gauss: Any  # (T, K) int32 gaussian ids front-to-back, -1 padded
+    n_instances: Any  # () int32 — true duplicate count (pre-clamp)
+    n_overflow: Any  # () int32 — instances dropped by the B budget
+    tile_overflow: Any  # () int32 — instances dropped by the K cap
+    max_tile_count: Any  # () int32
+
+
+def tile_grid(width: int, height: int, tile: int = TILE):
+    return (width + tile - 1) // tile, (height + tile - 1) // tile
+
+
+def gaussian_rects(xy, radius, tiles_x: int, tiles_y: int, tile: int = TILE):
+    """Per-Gaussian tile rect [min, max) and touched-count (auxiliary.h:62-72,
+    forward.cu:399-403)."""
+    rx_min = jnp.clip(jnp.floor((xy[:, 0] - radius) / tile), 0, tiles_x).astype(jnp.int32)
+    ry_min = jnp.clip(jnp.floor((xy[:, 1] - radius) / tile), 0, tiles_y).astype(jnp.int32)
+    rx_max = jnp.clip(jnp.floor((xy[:, 0] + radius + tile - 1) / tile), 0, tiles_x).astype(jnp.int32)
+    ry_max = jnp.clip(jnp.floor((xy[:, 1] + radius + tile - 1) / tile), 0, tiles_y).astype(jnp.int32)
+    w = jnp.maximum(rx_max - rx_min, 0)
+    h = jnp.maximum(ry_max - ry_min, 0)
+    return rx_min, ry_min, w, h, w * h
+
+
+def bin_gaussians(
+    xy,
+    radius,
+    depth,
+    valid,
+    width: int,
+    height: int,
+    instance_budget: int,
+    max_per_tile: int,
+    tile: int = TILE,
+) -> TileBinning:
+    """Build the tile work lists. All shapes static; jit/vmap/shard-friendly.
+
+    Args:
+      xy, radius, depth, valid: (P,) preprocess outputs.
+      instance_budget: B — static cap on total (gaussian, tile) pairs.
+      max_per_tile: K — static cap on Gaussians per tile.
+    """
+    P = xy.shape[0]
+    tiles_x, tiles_y = tile_grid(width, height, tile)
+    num_tiles = tiles_x * tiles_y
+    B = instance_budget
+
+    rx_min, ry_min, w, h, touched = gaussian_rects(xy, radius, tiles_x, tiles_y, tile)
+    alive = valid & (radius > 0) & (touched > 0)
+    touched = jnp.where(alive, touched, 0)
+
+    # exclusive prefix sum -> slot offsets (cub InclusiveSum, rasterizer_impl.cu:350)
+    offsets = jnp.cumsum(touched) - touched
+    total = offsets[-1] + touched[-1]
+    n_overflow = jnp.maximum(total - B, 0)
+
+    # depth ranks replace float-bit radix keys: one global argsort
+    depth_key = jnp.where(alive, depth, jnp.inf)
+    depth_order = jnp.argsort(depth_key)  # (P,) gaussian ids, near -> far
+    rank = jnp.zeros((P,), jnp.int32).at[depth_order].set(jnp.arange(P, dtype=jnp.int32))
+
+    # --- expand runs: slot -> owning gaussian (scatter + cumsum trick) ---
+    starts = jnp.where(alive & (offsets < B), offsets, B)
+    ones = jnp.zeros((B + 1,), jnp.int32).at[starts].add(1)
+    owner_count = jnp.cumsum(ones[:-1])  # (B,) = #runs started at or before slot
+    owner = owner_count - 1  # index into "alive runs in order" == gaussian index
+    # owner indexes compacted runs; recover gaussian id via the same order:
+    # runs were laid out in gaussian-index order, so gather the i-th alive id.
+    alive_ids = jnp.nonzero(alive, size=P, fill_value=P - 1)[0].astype(jnp.int32)
+    slot_valid = jnp.arange(B) < jnp.minimum(total, B)
+    gid = jnp.where(slot_valid, alive_ids[jnp.clip(owner, 0, P - 1)], -1)
+
+    # slot offset within the gaussian's rect -> tile coordinates
+    g_safe = jnp.clip(gid, 0, P - 1)
+    within = jnp.arange(B, dtype=jnp.int32) - offsets[g_safe]
+    w_safe = jnp.maximum(w[g_safe], 1)
+    ty = ry_min[g_safe] + within // w_safe
+    tx = rx_min[g_safe] + within % w_safe
+    tid = jnp.where(slot_valid, ty * tiles_x + tx, num_tiles)
+
+    # --- sort by (tile, depth-rank) --- (radix sort, rasterizer_impl.cu:376-381)
+    sort_rank = jnp.where(slot_valid, rank[g_safe], P)
+    tid_s, _, gid_s = jax.lax.sort((tid, sort_rank, gid), num_keys=2)
+
+    # --- per-tile ranges --- (identifyTileRanges, rasterizer_impl.cu:151-173)
+    tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tid_s, tile_idx, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(tid_s, tile_idx, side="right").astype(jnp.int32)
+    tile_count_full = tile_end - tile_start
+    tile_count = jnp.minimum(tile_count_full, max_per_tile)
+    tile_overflow = jnp.sum(tile_count_full - tile_count)
+    max_tile_count = jnp.max(tile_count_full)
+
+    # --- rectangular [T, K] gather ---
+    K = max_per_tile
+    gid_pad = jnp.concatenate([gid_s, jnp.full((K,), -1, jnp.int32)])
+
+    def take_tile(start, count):
+        seg = jax.lax.dynamic_slice(gid_pad, (start,), (K,))
+        return jnp.where(jnp.arange(K) < count, seg, -1)
+
+    tile_gauss = jax.vmap(take_tile)(tile_start, tile_count)
+
+    return TileBinning(
+        gauss_id=gid_s,
+        tile_id=tid_s,
+        tile_start=tile_start,
+        tile_count=tile_count,
+        tile_gauss=tile_gauss,
+        n_instances=total,
+        n_overflow=n_overflow,
+        tile_overflow=tile_overflow,
+        max_tile_count=max_tile_count,
+    )
+
+
+def default_instance_budget(num_points: int, multiplier: int = 8, minimum: int = 1 << 14) -> int:
+    """Heuristic static budget: ~multiplier tiles per Gaussian, padded to a
+    power of two so recompiles are rare as P grows."""
+    b = max(minimum, num_points * multiplier)
+    return 1 << (b - 1).bit_length()
