@@ -131,15 +131,17 @@ def render_reference(
     pixnf_y = (pix[:, 1] - H / 2.0) / focal_y
     ln = jnp.sqrt(pixnf_x**2 + pixnf_y**2 + 1.0)
 
+    # double-where guards so empty pixels give zero (not NaN) gradients
+    w_safe = jnp.where(any_contrib, weight, 1.0)
+    inv_w = jnp.where(any_contrib, 1.0 / w_safe, 0.0)
     accum_depth = accum_depth_raw / ln
-    out_depth = jnp.where(any_contrib, accum_depth / jnp.maximum(weight, 1e-30), 0.0)
+    out_depth = accum_depth * inv_w
     out_mdepth = m_t / ln
 
-    out_coord = jnp.where(
-        any_contrib[:, None], accum_coord / jnp.maximum(weight[:, None], 1e-30), 0.0
-    )
+    out_coord = accum_coord * inv_w[:, None]
 
-    n_len = jnp.linalg.norm(normal_accum, axis=-1)
+    n2 = jnp.sum(jnp.square(normal_accum), axis=-1)
+    n_len = jnp.sqrt(jnp.where(any_contrib, n2, 1.0))
     normal_length = jnp.where(any_contrib, n_len, 1.0)
     out_normal = jnp.where(
         any_contrib[:, None],
