@@ -107,19 +107,21 @@ def scaling_with_3d_filter(scales, filter_3d):
 
 def opacity_coef_3d_filter(scales, filter_3d):
     """Opacity compensation sqrt(det(S^2)/det(S^2 + f^2 I))
-    (gaussian_model.py:143-154). filter_3d: (...,1)."""
+    (gaussian_model.py:143-154). filter_3d: (...,1).
+
+    Computed as prod_i s_i/sqrt(s_i^2+f^2) — identical value, but the naive
+    det quotient's backward divides by prod(s^2)^2, which underflows f32
+    already at s ~ 5e-5 and yields NaN gradients."""
     s2 = jnp.square(scales)
-    det1 = jnp.prod(s2, axis=-1)
-    det2 = jnp.prod(s2 + jnp.square(filter_3d), axis=-1)
-    return jnp.sqrt(det1 / det2)
+    ratios = s2 / (s2 + jnp.square(filter_3d))
+    return jnp.sqrt(jnp.prod(ratios, axis=-1))
 
 
 def fuse_3d_filter(scales, opacity, filter_3d):
     """Fused getter (gaussian_model.py:157-166): returns (scales', opacity')."""
     s2 = jnp.square(scales)
-    f2 = jnp.square(filter_3d)
-    s2f = s2 + f2
-    coef = jnp.sqrt(jnp.prod(s2, axis=-1) / jnp.prod(s2f, axis=-1))
+    s2f = s2 + jnp.square(filter_3d)
+    coef = jnp.sqrt(jnp.prod(s2 / s2f, axis=-1))
     return jnp.sqrt(s2f), opacity * coef[..., None]
 
 

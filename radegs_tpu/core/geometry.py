@@ -43,8 +43,11 @@ def points_to_normal(points):
     d_row = points[..., :, 2:, 1:-1] - points[..., :, :-2, 1:-1]
     d_col = points[..., :, 1:-1, 2:] - points[..., :, 1:-1, :-2]
     n = jnp.cross(d_row, d_col, axisa=-3, axisb=-3, axisc=-3)
-    norm = jnp.linalg.norm(n, axis=-3, keepdims=True)
-    n = n / jnp.maximum(norm, 1e-12)
+    # double-where: degenerate (flat/empty) pixels give zero, not NaN, grads
+    n2 = jnp.sum(jnp.square(n), axis=-3, keepdims=True)
+    ok = n2 > 1e-24
+    inv = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, n2, 1.0)), 0.0)
+    n = n * inv
     pad = [(0, 0)] * (points.ndim - 2) + [(1, 1), (1, 1)]
     return jnp.pad(n, pad)
 

@@ -89,6 +89,7 @@ def preprocess_gaussians(
     scale_modifier: float = 1.0,
     colors_precomp=None,
     cov3d_precomp=None,
+    active_sh_degree=None,
 ) -> PreprocessOut:
     """Vectorized preprocess over P Gaussians (forward.cu:307-423).
 
@@ -254,7 +255,10 @@ def preprocess_gaussians(
     if colors_precomp is not None:
         rgb = colors_precomp.astype(f32)
     else:
-        rgb, _ = eval_sh_color(sh_degree, shs.astype(f32), means3d, camera.camera_center)
+        rgb, _ = eval_sh_color(
+            sh_degree, shs.astype(f32), means3d, camera.camera_center,
+            active_degree=active_sh_degree,
+        )
 
     ts = jnp.linalg.norm(p_view, axis=-1)  # forward.cu:381
 

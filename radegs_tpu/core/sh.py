@@ -89,14 +89,24 @@ def eval_sh(degree: int, sh, dirs):
     return jnp.einsum("...k,...kc->...c", basis, sh[..., :k, :])
 
 
-def eval_sh_color(degree: int, sh, means, campos):
+def eval_sh_color(degree: int, sh, means, campos, active_degree=None):
     """Full reference semantics (forward.cu:23-74): returns (rgb, clamped).
 
     rgb is max(SH + 0.5, 0); clamped marks channels that were clipped (the
     reference zeroes their gradients in the backward pass, backward.cu:21-140 —
     here the clamp itself gives the identical VJP automatically).
+
+    ``active_degree``: optional *traced* degree <= ``degree``; coefficients
+    beyond (active_degree+1)^2 are masked out. This keeps one compiled graph
+    while the training loop raises the SH degree every 1000 iterations
+    (train.py:112-113).
     """
     dirs = means - campos
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    raw = eval_sh(degree, sh, dirs) + 0.5
+    basis = sh_basis(degree, dirs)  # (..., K)
+    if active_degree is not None:
+        k = basis.shape[-1]
+        idx = jnp.arange(k)
+        basis = basis * (idx < (active_degree + 1) ** 2)
+    raw = jnp.einsum("...k,...kc->...c", basis, sh[..., : basis.shape[-1], :]) + 0.5
     return jnp.maximum(raw, 0.0), raw < 0.0

@@ -1,0 +1,65 @@
+"""Renderer dispatch — the L3 layer (gaussian_renderer/__init__.py:19-95).
+
+Takes a GaussianState + Camera, applies the fused Mip 3D-filter getters,
+runs preprocess + rasterize, and returns the reference's render() dict.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from radegs_tpu.core.projection import preprocess_gaussians
+from radegs_tpu.models.gaussian_model import GaussianState
+from radegs_tpu.ops.binning import default_instance_budget
+from radegs_tpu.ops.rasterize import rasterize
+
+
+def render(
+    state: GaussianState,
+    camera,
+    bg,
+    kernel_size: float = 0.0,
+    scaling_modifier: float = 1.0,
+    max_per_tile: int = 512,
+    instance_budget: int | None = None,
+    xy_offset=None,
+    xy_abs=None,
+):
+    """Render a view. Mirrors gaussian_renderer/__init__.py:19-95: always
+    uses the fused filtered scales+opacity (line 63) and GPU-side SH eval.
+
+    ``xy_offset``/``xy_abs``: optional (C,2) zero tensors; gradients w.r.t.
+    them yield the screen-space mean gradients (pixel units) and the GOF
+    absolute-gradient statistic — the reference's means2D .grad side channel
+    (gaussian_renderer/__init__.py:29-33).
+    """
+    scales, opacity = state.get_fused_scaling_opacity()
+    opacity = jnp.where(state.active[:, None], opacity, 0.0)
+
+    prep = preprocess_gaussians(
+        state.params.xyz,
+        scales,
+        state.get_rotation(),
+        opacity,
+        state.get_features(),
+        sh_degree=state.max_sh_degree,
+        camera=camera,
+        kernel_size=kernel_size,
+        scale_modifier=scaling_modifier,
+        active_sh_degree=state.active_sh_degree,
+    )
+    prep = prep.replace(valid=prep.valid & state.active)
+    if xy_offset is not None:
+        prep = prep.replace(xy=prep.xy + xy_offset)
+    if instance_budget is None:
+        instance_budget = default_instance_budget(state.capacity)
+    out = rasterize(
+        prep,
+        camera,
+        bg,
+        max_per_tile=max_per_tile,
+        instance_budget=instance_budget,
+        xy_abs=xy_abs,
+    )
+    return out

