@@ -1,0 +1,93 @@
+"""Headline benchmark: rays/s/chip, forward+backward, 1600x1200.
+
+Runs one full training step (render -> L1+SSIM+normal-consistency loss ->
+custom-VJP backward -> Adam -> densification stats) on a synthetic scene at
+the DTU resolution (BASELINE.md primary throughput metric), times it after
+warmup, and prints ONE JSON line.
+
+``vs_baseline``: the snapshot ships no published numbers (BASELINE.md), so
+the denominator is a documented estimate of the CUDA reference's training
+throughput on its intended hardware: ~20 train-iters/s at 1600x1200 on an
+RTX-3090-class GPU (RaDe-GS paper reports 3DGS-comparable minutes/30k-iter
+training) = 38.4M rays/s.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 20.0 * 1600 * 1200  # documented estimate, see module docstring
+
+WIDTH, HEIGHT = 1600, 1200
+N_GAUSS = 100_000
+CAPACITY = 131_072
+WARMUP = 2
+ITERS = 10
+
+
+def build_scene(seed=0):
+    import jax.numpy as jnp
+
+    from radegs_tpu.core.camera import Camera
+    from radegs_tpu.models import gaussian_model as gm
+
+    rng = np.random.default_rng(seed)
+    pts = (rng.normal(size=(N_GAUSS, 3)) * 1.2).astype(np.float32)
+    cols = rng.uniform(0.1, 0.9, size=(N_GAUSS, 3)).astype(np.float32)
+    state = gm.create_from_points(pts, cols, capacity=CAPACITY)
+    cam = Camera.look_at(
+        [0.0, 0.8, -5.0], [0, 0, 0], [0, 1, 0], 0.9, 0.7, WIDTH, HEIGHT
+    )
+    state = gm.update_3d_filter(state, [cam])
+    gt = jnp.clip(
+        jnp.asarray(rng.uniform(size=(3, HEIGHT, WIDTH)), jnp.float32), 0.0, 1.0
+    )
+    return state, cam, gt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from radegs_tpu.train.config import ModelConfig, OptimizationConfig, PipelineConfig
+    from radegs_tpu.train.loop import init_train_state, make_train_step
+
+    state, cam, gt = build_scene()
+    ts = init_train_state(state, jax.random.PRNGKey(0))
+    bg = jnp.zeros(3)
+
+    mcfg = ModelConfig(kernel_size=0.1)
+    ocfg = OptimizationConfig(regularization_from_iter=0)
+    pcfg = PipelineConfig(max_per_tile=512)
+    step = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=5.0)
+
+    # NOTE: sync by fetching the loss every step — block_until_ready on the
+    # final value alone under-measures through the remote-execution tunnel.
+    for _ in range(WARMUP):
+        ts, metrics = step(ts, cam, gt, bg, 0, WIDTH, HEIGHT)
+        float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        ts, metrics = step(ts, cam, gt, bg, 0, WIDTH, HEIGHT)
+        float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / ITERS
+
+    rays_per_s = WIDTH * HEIGHT / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_s_per_chip_fwd_bwd_1600x1200",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

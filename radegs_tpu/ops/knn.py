@@ -54,8 +54,11 @@ def _window_knn_pass(points, k: int, window: int, perm):
     padded = jnp.concatenate([pad_lo, sorted_pts, pad_hi], axis=0)
 
     idx = jnp.arange(P)[:, None] + jnp.arange(2 * W + 1)[None, :]  # window incl self
-    neigh = padded[idx]  # (P, 2W+1, 3)
-    d2 = jnp.sum((neigh - sorted_pts[:, None, :]) ** 2, axis=-1)
+    # component-wise distances: a (P, 2W+1, 3) gather would be lane-padded
+    # 3 -> 128 on TPU (42x HBM blowup); (P, 2W+1) scalars are not
+    d2 = sum(
+        (padded[:, a][idx] - sorted_pts[:, a][:, None]) ** 2 for a in range(3)
+    )
     d2 = d2.at[:, W].set(jnp.inf)  # drop self
     smallest = -jax.lax.top_k(-d2, k)[0]  # (P, k), sorted ascending? (desc of neg)
     # scatter back to original order
@@ -95,10 +98,15 @@ def _grid_knn_candidates(points, k: int, cap: int = 16, cell_mult: float = 1.0):
     start = jnp.searchsorted(sc, ncid)
     end = jnp.searchsorted(sc, ncid, side="right")
     cnt = jnp.minimum(end - start, cap)
-    idx = jnp.clip(start[:, :, None] + jnp.arange(cap)[None, None, :], 0, P - 1)
-    ok = (jnp.arange(cap)[None, None, :] < cnt[:, :, None]) & valid[:, :, None]
-    d2 = jnp.sum((sp[idx] - points[:, None, None, :]) ** 2, -1)
-    d2 = jnp.where(ok, d2, jnp.inf).reshape(P, 27 * cap)
+    idx = jnp.clip(
+        start[:, :, None] + jnp.arange(cap)[None, None, :], 0, P - 1
+    ).reshape(P, 27 * cap)
+    ok = ((jnp.arange(cap)[None, None, :] < cnt[:, :, None]) & valid[:, :, None]).reshape(
+        P, 27 * cap
+    )
+    # component-wise (see _window_knn_pass): avoid a (P, 27*cap, 3) gather
+    d2 = sum((sp[:, a][idx] - points[:, a][:, None]) ** 2 for a in range(3))
+    d2 = jnp.where(ok, d2, jnp.inf)
     d2 = jnp.where(d2 <= 1e-24, jnp.inf, d2)  # drop self
     return -jax.lax.top_k(-d2, k)[0]
 
@@ -133,7 +141,8 @@ def mean_dist2_knn(points, k: int = 3, window: int = 32):
 
 
 def _exact_mean_dist2(points, k: int = 3):
-    d2 = jnp.sum((points[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+    # component-wise: (P, P) scalars, never a (P, P, 3) lane-padded tensor
+    d2 = sum((points[:, a][:, None] - points[:, a][None, :]) ** 2 for a in range(3))
     d2 = jnp.where(jnp.eye(points.shape[0], dtype=bool), jnp.inf, d2)
     smallest = -jax.lax.top_k(-d2, k)[0]
     return jnp.mean(smallest, axis=-1)

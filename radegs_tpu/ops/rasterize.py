@@ -9,6 +9,13 @@ Design (vs. the reference CUDA kernels):
   Within a chunk, sequential blending is replaced by an exclusive cumulative
   product of (1 - alpha) — mathematically identical (see ops.blend_math).
 
+- TPU layout rule: f32 arrays are tiled (8, 128) over their last two dims,
+  so a large array with a trailing dim of 2 or 3 is padded 42-64x in HBM.
+  Every big intermediate here is therefore laid out channels-LEADING with
+  the pixel axis minor: vectors are (3, T, px) / (3, T, c, px), scalars
+  (T, px) / (T, c, px).  Only small per-(tile, contributor) tensors
+  (T, c, k) keep a tiny trailing dim.
+
 - the custom VJP boundary is drawn around the *raw accumulators only*:
   weight normalization, distance->depth division, background compositing and
   normal normalization happen outside in plain jnp, so JAX autodiff supplies
@@ -54,8 +61,9 @@ class RasterCfg(NamedTuple):
 
 
 def _tile_pixel_coords(cfg: RasterCfg):
-    """(T, px, 2) pixel centers for every tile (row-major tiles, row-major
-    pixels inside a tile) — the analogue of the CUDA block/thread indexing."""
+    """Two (T, px) arrays of pixel-center x/y for every tile (row-major
+    tiles, row-major pixels inside a tile) — the analogue of the CUDA
+    block/thread indexing. Kept as separate scalars (TPU layout rule)."""
     tiles_x, tiles_y = tile_grid(cfg.width, cfg.height, cfg.tile)
     t = jnp.arange(tiles_x * tiles_y)
     tx, ty = t % tiles_x, t // tiles_x
@@ -63,15 +71,15 @@ def _tile_pixel_coords(cfg: RasterCfg):
     ix, iy = i % cfg.tile, i // cfg.tile
     px = tx[:, None] * cfg.tile + ix[None, :]
     py = ty[:, None] * cfg.tile + iy[None, :]
-    return jnp.stack([px, py], axis=-1).astype(jnp.float32)
+    return px.astype(jnp.float32), py.astype(jnp.float32)
 
 
 def _untile(x, cfg: RasterCfg):
-    """(T, px, C) -> (C, H, W), cropping the tile padding."""
+    """(C, T, px) -> (C, H, W), cropping the tile padding."""
     tiles_x, tiles_y = tile_grid(cfg.width, cfg.height, cfg.tile)
-    C = x.shape[-1]
-    img = x.reshape(tiles_y, tiles_x, cfg.tile, cfg.tile, C)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(C, tiles_y * cfg.tile, tiles_x * cfg.tile)
+    C = x.shape[0]
+    img = x.reshape(C, tiles_y, tiles_x, cfg.tile, cfg.tile)
+    img = img.transpose(0, 1, 3, 2, 4).reshape(C, tiles_y * cfg.tile, tiles_x * cfg.tile)
     return img[:, : cfg.height, : cfg.width]
 
 
@@ -80,13 +88,19 @@ def _gather(arr, ids):
     return jnp.take(arr, ids, axis=0)
 
 
-def _chunk_alpha(ids, mask, xy, conic, opacity, pix):
-    """alpha (T, c, px) for one chunk, reproducing forward.cu:550-567."""
+def _gather_t(arr, ids):
+    """Gather (P, k) rows by (T, c) ids, channels-leading: -> (k, T, c)."""
+    return jnp.moveaxis(jnp.take(arr, ids, axis=0), -1, 0)
+
+
+def _chunk_alpha(ids, mask, xy, conic, opacity, pix_x, pix_y):
+    """alpha (T, c, px) for one chunk, reproducing forward.cu:550-567.
+    Returns (alpha, dx, dy, falloff, raw_alpha), all (T, c, px)."""
     xy_g = _gather(xy, ids)  # (T,c,2)
     con_g = _gather(conic, ids)  # (T,c,3)
     op_g = _gather(opacity, ids)  # (T,c)
-    d = xy_g[:, :, None, :] - pix[:, None, :, :]  # (T,c,px,2)
-    dx, dy = d[..., 0], d[..., 1]
+    dx = xy_g[..., 0, None] - pix_x[:, None, :]  # (T,c,px)
+    dy = xy_g[..., 1, None] - pix_y[:, None, :]
     power = (
         -0.5 * (con_g[..., 0, None] * dx * dx + con_g[..., 2, None] * dy * dy)
         - con_g[..., 1, None] * dx * dy
@@ -95,35 +109,37 @@ def _chunk_alpha(ids, mask, xy, conic, opacity, pix):
     raw = op_g[..., None] * g
     alpha = jnp.minimum(MAX_ALPHA, raw)
     cand = (power <= 0.0) & (alpha >= ALPHA_EPS) & mask[..., None]
-    return jnp.where(cand, alpha, 0.0), d, g, raw
+    return jnp.where(cand, alpha, 0.0), dx, dy, g, raw
 
 
-def _chunk_geometry(ids, d, view_point, camera_plane, ray_plane, ts):
-    """Per-contributor ray-space distance and camera-space coordinate
-    (forward.cu:581-604)."""
+def _chunk_geometry(ids, dx, dy, view_point, camera_plane, ray_plane, ts):
+    """Per-contributor ray-space distance (T,c,px) and camera-space
+    coordinate (3,T,c,px) (forward.cu:581-604)."""
     ts_g = _gather(ts, ids)  # (T,c)
     rp_g = _gather(ray_plane, ids)  # (T,c,2)
-    vp_g = _gather(view_point, ids)  # (T,c,3)
+    vp_t = _gather_t(view_point, ids)  # (3,T,c)
     cp_g = _gather(camera_plane, ids)  # (T,c,3,2)
-    t_ray = ts_g[..., None] + rp_g[..., 0, None] * d[..., 0] + rp_g[..., 1, None] * d[..., 1]
+    cpx_t = jnp.moveaxis(cp_g[..., 0], -1, 0)  # (3,T,c)
+    cpy_t = jnp.moveaxis(cp_g[..., 1], -1, 0)
+    t_ray = ts_g[..., None] + rp_g[..., 0, None] * dx + rp_g[..., 1, None] * dy
     coord = (
-        vp_g[:, :, None, :]
-        + cp_g[:, :, None, :, 0] * d[..., 0, None]
-        + cp_g[:, :, None, :, 1] * d[..., 1, None]
-    )  # (T,c,px,3)
-    return t_ray, coord
+        vp_t[..., None]
+        + cpx_t[..., None] * dx[None]
+        + cpy_t[..., None] * dy[None]
+    )  # (3,T,c,px)
+    return t_ray, coord, rp_g, cpx_t, cpy_t
 
 
 # =============================================================== forward ====
 
 
 def _blend_forward_scan(cfg: RasterCfg, tile_gauss, inputs):
-    """Returns raw accumulators per (tile, pixel)."""
+    """Returns raw accumulators per (tile, pixel), channels-leading."""
     xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts = inputs
     T_tiles, K = tile_gauss.shape
     c = cfg.chunk
     px = cfg.tile * cfg.tile
-    pix = _tile_pixel_coords(cfg)
+    pix_x, pix_y = _tile_pixel_coords(cfg)
     n_chunks = (K + c - 1) // c
     ids_chunks = jnp.pad(tile_gauss, ((0, 0), (0, n_chunks * c - K)), constant_values=-1)
     ids_chunks = ids_chunks.reshape(T_tiles, n_chunks, c).transpose(1, 0, 2)
@@ -133,32 +149,34 @@ def _blend_forward_scan(cfg: RasterCfg, tile_gauss, inputs):
         ids, pos0 = xs
         mask = ids >= 0
         idc = jnp.where(mask, ids, 0)
-        alpha, d, _, _ = _chunk_alpha(idc, mask, xy, conic, opacity, pix)
+        alpha, dx, dy, _, _ = _chunk_alpha(idc, mask, xy, conic, opacity, pix_x, pix_y)
         one_minus = 1.0 - alpha
         cum = jnp.cumprod(one_minus, axis=1)
         t_prefix = t_cur[:, None, :] * cum / one_minus  # exclusive prefix
         terminate = (alpha > 0.0) & (t_prefix * one_minus < T_EPS)
         kill = (jnp.cumsum(terminate, axis=1) > 0) | done[:, None, :]
         include = (alpha > 0.0) & ~kill
-        w = jnp.where(include, alpha * t_prefix, 0.0)
+        w = jnp.where(include, alpha * t_prefix, 0.0)  # (T,c,px)
 
-        rgb_g = _gather(rgb, idc)
-        n_g = _gather(normal, idc)
-        t_ray, coord = _chunk_geometry(idc, d, view_point, camera_plane, ray_plane, ts)
+        rgb_t = _gather_t(rgb, idc)  # (3,T,c)
+        n_t = _gather_t(normal, idc)  # (3,T,c)
+        t_ray, coord, _, _, _ = _chunk_geometry(
+            idc, dx, dy, view_point, camera_plane, ray_plane, ts
+        )
 
-        acc_c = acc_c + jnp.einsum("tcp,tck->tpk", w, rgb_g)
-        acc_n = acc_n + jnp.einsum("tcp,tck->tpk", w, n_g)
+        acc_c = acc_c + jnp.einsum("tcp,ktc->ktp", w, rgb_t)
+        acc_n = acc_n + jnp.einsum("tcp,ktc->ktp", w, n_t)
         acc_w = acc_w + jnp.sum(w, axis=1)
         acc_d = acc_d + jnp.sum(w * t_ray, axis=1)
-        acc_x = acc_x + jnp.sum(w[..., None] * coord, axis=1)
+        acc_x = acc_x + jnp.sum(w[None] * coord, axis=2)
 
         med_mask = include & (t_prefix > 0.5)
         has_med = jnp.any(med_mask, axis=1)
         last = (alpha.shape[1] - 1) - jnp.argmax(jnp.flip(med_mask, axis=1), axis=1)
         med_t_new = jnp.take_along_axis(t_ray, last[:, None, :], axis=1)[:, 0, :]
-        med_x_new = jnp.take_along_axis(coord, last[:, None, :, None], axis=1)[:, 0]
+        med_x_new = jnp.take_along_axis(coord, last[None, :, None, :], axis=2)[:, :, 0, :]
         med_t = jnp.where(has_med, med_t_new, med_t)
-        med_x = jnp.where(has_med[..., None], med_x_new, med_x)
+        med_x = jnp.where(has_med[None], med_x_new, med_x)
         med_pos = jnp.where(has_med, pos0 + last, med_pos)
 
         t_cur = t_cur * jnp.prod(jnp.where(include, one_minus, 1.0), axis=1)
@@ -169,27 +187,27 @@ def _blend_forward_scan(cfg: RasterCfg, tile_gauss, inputs):
     init = (
         jnp.ones((T_tiles, px), f32),
         jnp.zeros((T_tiles, px), bool),
-        jnp.zeros((T_tiles, px, 3), f32),
+        jnp.zeros((3, T_tiles, px), f32),
         jnp.zeros((T_tiles, px), f32),
         jnp.zeros((T_tiles, px), f32),
-        jnp.zeros((T_tiles, px, 3), f32),
-        jnp.zeros((T_tiles, px, 3), f32),
+        jnp.zeros((3, T_tiles, px), f32),
+        jnp.zeros((3, T_tiles, px), f32),
         jnp.zeros((T_tiles, px), f32),
-        jnp.zeros((T_tiles, px, 3), f32),
+        jnp.zeros((3, T_tiles, px), f32),
         jnp.full((T_tiles, px), -1, jnp.int32),
     )
     pos0s = jnp.arange(n_chunks, dtype=jnp.int32) * c
     carry, _ = jax.lax.scan(body, init, (ids_chunks, pos0s))
     (t_cur, _, acc_c, acc_w, acc_d, acc_x, acc_n, med_t, med_x, med_pos) = carry
     return {
-        "color_raw": acc_c,
-        "weight": acc_w,
+        "color_raw": acc_c,  # (3,T,px)
+        "weight": acc_w,  # (T,px)
         "dist_raw": acc_d,
-        "coord_raw": acc_x,
-        "normal_raw": acc_n,
+        "coord_raw": acc_x,  # (3,T,px)
+        "normal_raw": acc_n,  # (3,T,px)
         "t_final": t_cur,
         "med_t": med_t,
-        "med_coord": med_x,
+        "med_coord": med_x,  # (3,T,px)
         "med_pos": med_pos,
     }
 
@@ -202,19 +220,20 @@ def _blend_backward_scan(cfg: RasterCfg, tile_gauss, inputs, fwd_out, cot):
     P = xy.shape[0]
     T_tiles, K = tile_gauss.shape
     c = cfg.chunk
-    pix = _tile_pixel_coords(cfg)
+    px = cfg.tile * cfg.tile
+    pix_x, pix_y = _tile_pixel_coords(cfg)
     n_chunks = (K + c - 1) // c
     ids_chunks = jnp.pad(tile_gauss, ((0, 0), (0, n_chunks * c - K)), constant_values=-1)
     ids_chunks = ids_chunks.reshape(T_tiles, n_chunks, c).transpose(1, 0, 2)
 
-    g_c = cot["color_raw"]  # (T,px,3)
-    g_w = cot["weight"]
+    g_c = cot["color_raw"]  # (3,T,px)
+    g_w = cot["weight"]  # (T,px)
     g_d = cot["dist_raw"]
-    g_x = cot["coord_raw"]
+    g_x = cot["coord_raw"]  # (3,T,px)
     g_n = cot["normal_raw"]
     g_tf = cot["t_final"]
     g_mt = cot["med_t"]
-    g_mx = cot["med_coord"]
+    g_mx = cot["med_coord"]  # (3,T,px)
 
     tot_c = fwd_out["color_raw"]
     tot_w = fwd_out["weight"]
@@ -244,7 +263,9 @@ def _blend_backward_scan(cfg: RasterCfg, tile_gauss, inputs, fwd_out, cot):
         ids, pos0 = xs
         mask = ids >= 0
         idc = jnp.where(mask, ids, 0)
-        alpha, d, g_fall, raw_alpha = _chunk_alpha(idc, mask, xy, conic, opacity, pix)
+        alpha, dx, dy, g_fall, raw_alpha = _chunk_alpha(
+            idc, mask, xy, conic, opacity, pix_x, pix_y
+        )
         one_minus = 1.0 - alpha
         cum = jnp.cumprod(one_minus, axis=1)
         t_prefix = t_cur[:, None, :] * cum / one_minus
@@ -253,33 +274,35 @@ def _blend_backward_scan(cfg: RasterCfg, tile_gauss, inputs, fwd_out, cot):
         include = (alpha > 0.0) & ~kill
         w = jnp.where(include, alpha * t_prefix, 0.0)
 
-        rgb_g = _gather(rgb, idc)
-        n_g = _gather(normal, idc)
-        t_ray, coord = _chunk_geometry(idc, d, view_point, camera_plane, ray_plane, ts)
+        rgb_t = _gather_t(rgb, idc)  # (3,T,c)
+        n_t = _gather_t(normal, idc)
+        t_ray, coord, rp_g, cpx_t, cpy_t = _chunk_geometry(
+            idc, dx, dy, view_point, camera_plane, ray_plane, ts
+        )
 
         # inclusive prefixes of the blended sums (global: carried + in-chunk)
-        pc = pre_c[:, None] + jnp.cumsum(w[..., None] * rgb_g[:, :, None, :], axis=1)
-        pw = pre_w[:, None] + jnp.cumsum(w, axis=1)
+        pc = pre_c[:, :, None] + jnp.cumsum(w[None] * rgb_t[..., None], axis=2)  # (3,T,c,px)
+        pw = pre_w[:, None] + jnp.cumsum(w, axis=1)  # (T,c,px)
         pd = pre_d[:, None] + jnp.cumsum(w * t_ray, axis=1)
-        pxx = pre_x[:, None] + jnp.cumsum(w[..., None] * coord, axis=1)
-        pn = pre_n[:, None] + jnp.cumsum(w[..., None] * n_g[:, :, None, :], axis=1)
+        pxx = pre_x[:, :, None] + jnp.cumsum(w[None] * coord, axis=2)  # (3,T,c,px)
+        pn = pre_n[:, :, None] + jnp.cumsum(w[None] * n_t[..., None], axis=2)
 
         # dL/dw_i — the direct path through this contributor's weight
         dL_dw = (
-            jnp.einsum("tpk,tck->tcp", g_c, rgb_g)
-            + jnp.einsum("tpk,tck->tcp", g_n, n_g)
+            jnp.einsum("ktp,ktc->tcp", g_c, rgb_t)
+            + jnp.einsum("ktp,ktc->tcp", g_n, n_t)
             + g_w[:, None, :]
             + g_d[:, None, :] * t_ray
-            + jnp.sum(g_x[:, None, :, :] * coord, axis=-1)
+            + jnp.sum(g_x[:, :, None, :] * coord, axis=0)
         )
 
         # dL/dalpha_i: T_i * dL_dw  -  (suffix sums + T_final) / (1 - alpha_i)
         suffix = (
-            jnp.einsum("tpk,tcpk->tcp", g_c, tot_c[:, None] - pc)
-            + jnp.einsum("tpk,tcpk->tcp", g_n, tot_n[:, None] - pn)
+            jnp.einsum("ktp,ktcp->tcp", g_c, tot_c[:, :, None] - pc)
+            + jnp.einsum("ktp,ktcp->tcp", g_n, tot_n[:, :, None] - pn)
             + g_w[:, None, :] * (tot_w[:, None] - pw)
             + g_d[:, None, :] * (tot_d[:, None] - pd)
-            + jnp.sum(g_x[:, None, :, :] * (tot_x[:, None] - pxx), axis=-1)
+            + jnp.sum(g_x[:, :, None, :] * (tot_x[:, :, None] - pxx), axis=0)
             + g_tf[:, None, :] * t_fin[:, None, :]
         )
         dL_dalpha = jnp.where(
@@ -290,9 +313,9 @@ def _blend_backward_scan(cfg: RasterCfg, tile_gauss, inputs, fwd_out, cot):
         pos = pos0 + jnp.arange(alpha.shape[1], dtype=jnp.int32)
         is_med = include & (med_pos[:, None, :] == pos[None, :, None])
         dL_dt = w * g_d[:, None, :] + jnp.where(is_med, g_mt[:, None, :], 0.0)
-        dL_dcoord = w[..., None] * g_x[:, None, :, :] + jnp.where(
-            is_med[..., None], g_mx[:, None, :, :], 0.0
-        )  # (T,c,px,3)
+        dL_dcoord = w[None] * g_x[:, :, None, :] + jnp.where(
+            is_med[None], g_mx[:, :, None, :], 0.0
+        )  # (3,T,c,px)
 
         # alpha -> (opacity, power) with the 0.99 clip gate (forward.cu:565)
         unclipped = (raw_alpha < MAX_ALPHA) & include
@@ -302,31 +325,20 @@ def _blend_backward_scan(cfg: RasterCfg, tile_gauss, inputs, fwd_out, cot):
         dL_dG = dL_draw * op_g[..., None]
 
         con_g = _gather(conic, idc)
-        dx, dy = d[..., 0], d[..., 1]
         gdx, gdy = g_fall * dx, g_fall * dy
         dG_ddelx = -gdx * con_g[..., 0, None] - gdy * con_g[..., 1, None]
         dG_ddely = -gdy * con_g[..., 2, None] - gdx * con_g[..., 1, None]
-        dL_dconic = jnp.stack(
-            [
-                -0.5 * gdx * dx * dL_dG,
-                -gdx * dy * dL_dG,  # off-diagonal appears twice in power
-                -0.5 * gdy * dy * dL_dG,
-            ],
-            axis=-1,
-        )  # (T,c,px,3)
 
         # d = xy - pix: gradients w.r.t. the projected center
-        rp_g = _gather(ray_plane, idc)
-        cp_g = _gather(camera_plane, idc)
         dL_ddelx = (
             dL_dG * dG_ddelx
             + dL_dt * rp_g[..., 0, None]
-            + jnp.sum(dL_dcoord * cp_g[:, :, None, :, 0], axis=-1)
+            + jnp.sum(dL_dcoord * cpx_t[..., None], axis=0)
         )
         dL_ddely = (
             dL_dG * dG_ddely
             + dL_dt * rp_g[..., 1, None]
-            + jnp.sum(dL_dcoord * cp_g[:, :, None, :, 1], axis=-1)
+            + jnp.sum(dL_dcoord * cpy_t[..., None], axis=0)
         )
         # densification stats (backward.cu:1002-1006): falloff path only, NDC scale
         absg = jnp.abs(dL_dG * dG_ddelx) * (cfg.width * 0.5) + jnp.abs(
@@ -335,26 +347,32 @@ def _blend_backward_scan(cfg: RasterCfg, tile_gauss, inputs, fwd_out, cot):
 
         # reduce over pixels -> per (tile, contributor), then scatter by id
         def red(x):
-            return jnp.sum(x, axis=2)
+            return jnp.sum(x, axis=-1)  # (...,T,c,px) -> (...,T,c)
 
+        dcoord_red = jnp.moveaxis(red(dL_dcoord), 0, -1)  # (T,c,3)
         upd = dict(
             xy=jnp.stack([red(dL_ddelx), red(dL_ddely)], axis=-1),
             xy_abs=jnp.stack([red(absg), jnp.zeros_like(red(absg))], axis=-1),
-            conic=jnp.sum(dL_dconic, axis=2),
-            opacity=red(dL_dop),
-            rgb=jnp.einsum("tcp,tpk->tck", w, g_c),
-            view_point=jnp.sum(dL_dcoord, axis=2),
-            camera_plane=jnp.stack(
+            conic=jnp.stack(
                 [
-                    jnp.sum(dL_dcoord * dx[..., None], axis=2),
-                    jnp.sum(dL_dcoord * dy[..., None], axis=2),
+                    red(-0.5 * gdx * dx * dL_dG),
+                    red(-gdx * dy * dL_dG),  # off-diagonal appears twice in power
+                    red(-0.5 * gdy * dy * dL_dG),
                 ],
                 axis=-1,
             ),
-            ray_plane=jnp.stack(
-                [jnp.sum(dL_dt * dx, axis=2), jnp.sum(dL_dt * dy, axis=2)], axis=-1
+            opacity=red(dL_dop),
+            rgb=jnp.einsum("tcp,ktp->tck", w, g_c),
+            view_point=dcoord_red,
+            camera_plane=jnp.stack(
+                [
+                    jnp.moveaxis(red(dL_dcoord * dx[None]), 0, -1),
+                    jnp.moveaxis(red(dL_dcoord * dy[None]), 0, -1),
+                ],
+                axis=-1,
             ),
-            normal=jnp.einsum("tcp,tpk->tck", w, g_n),
+            ray_plane=jnp.stack([red(dL_dt * dx), red(dL_dt * dy)], axis=-1),
+            normal=jnp.einsum("tcp,ktp->tck", w, g_n),
             ts=red(dL_dt),
         )
         flat_ids = jnp.where(mask, idc, P).reshape(-1)
@@ -366,19 +384,19 @@ def _blend_backward_scan(cfg: RasterCfg, tile_gauss, inputs, fwd_out, cot):
         t_cur = t_cur * jnp.prod(jnp.where(include, one_minus, 1.0), axis=1)
         done = done | jnp.any(terminate, axis=1)
         return (
-            (t_cur, done, pc[:, -1], pw[:, -1], pd[:, -1], pxx[:, -1], pn[:, -1], grads),
+            (t_cur, done, pc[:, :, -1], pw[:, -1], pd[:, -1], pxx[:, :, -1], pn[:, :, -1], grads),
             None,
         )
 
-    T0 = jnp.ones((T_tiles, cfg.tile * cfg.tile), f32)
+    T0 = jnp.ones((T_tiles, px), f32)
     init = (
         T0,
         jnp.zeros_like(T0, dtype=bool),
-        zeros((T_tiles, cfg.tile * cfg.tile, 3), f32),
-        zeros((T_tiles, cfg.tile * cfg.tile), f32),
-        zeros((T_tiles, cfg.tile * cfg.tile), f32),
-        zeros((T_tiles, cfg.tile * cfg.tile, 3), f32),
-        zeros((T_tiles, cfg.tile * cfg.tile, 3), f32),
+        zeros((3, T_tiles, px), f32),
+        zeros((T_tiles, px), f32),
+        zeros((T_tiles, px), f32),
+        zeros((3, T_tiles, px), f32),
+        zeros((3, T_tiles, px), f32),
         grads0,
     )
     pos0s = jnp.arange(n_chunks, dtype=jnp.int32) * c
@@ -485,11 +503,11 @@ def rasterize(
     )
 
     # ---- output normalization (plain jnp: autodiff replaces backward.cu:737-779)
-    pix = _tile_pixel_coords(cfg)
+    pix_x, pix_y = _tile_pixel_coords(cfg)
     fx, fy = camera.focal_x, camera.focal_y
-    pnx = (pix[..., 0] - cfg.width / 2.0) / fx
-    pny = (pix[..., 1] - cfg.height / 2.0) / fy
-    ln = jnp.sqrt(pnx * pnx + pny * pny + 1.0)
+    pnx = (pix_x - cfg.width / 2.0) / fx
+    pny = (pix_y - cfg.height / 2.0) / fy
+    ln = jnp.sqrt(pnx * pnx + pny * pny + 1.0)  # (T,px)
 
     weight = raw["weight"]
     any_contrib = weight > 0.0
@@ -497,24 +515,24 @@ def rasterize(
     w_safe = jnp.where(any_contrib, weight, 1.0)
     inv_w = jnp.where(any_contrib, 1.0 / w_safe, 0.0)
 
-    color = raw["color_raw"] + raw["t_final"][..., None] * bg[None, None, :]
+    color = raw["color_raw"] + raw["t_final"][None] * bg[:, None, None]  # (3,T,px)
     accum_depth = raw["dist_raw"] / ln
     out_depth = accum_depth * inv_w
     out_mdepth = raw["med_t"] / ln
-    out_coord = raw["coord_raw"] * inv_w[..., None]
-    n2 = jnp.sum(jnp.square(raw["normal_raw"]), axis=-1)
+    out_coord = raw["coord_raw"] * inv_w[None]
+    n2 = jnp.sum(jnp.square(raw["normal_raw"]), axis=0)
     n_len = jnp.sqrt(jnp.where(any_contrib, n2, 1.0))
     out_normal = jnp.where(
-        any_contrib[..., None],
-        raw["normal_raw"] / jnp.maximum(n_len, NORMALIZE_EPS)[..., None],
+        any_contrib[None],
+        raw["normal_raw"] / jnp.maximum(n_len, NORMALIZE_EPS)[None],
         0.0,
     )
 
     out = {
         "render": _untile(color, cfg),
-        "mask": _untile(weight[..., None], cfg),
-        "expected_depth": _untile(out_depth[..., None], cfg),
-        "median_depth": _untile(out_mdepth[..., None], cfg),
+        "mask": _untile(weight[None], cfg),
+        "expected_depth": _untile(out_depth[None], cfg),
+        "median_depth": _untile(out_mdepth[None], cfg),
         "expected_coord": _untile(out_coord, cfg),
         "median_coord": _untile(raw["med_coord"], cfg),
         "normal": _untile(out_normal, cfg),
