@@ -38,6 +38,12 @@ def build_scene(seed=0):
     pts = (rng.normal(size=(N_GAUSS, 3)) * 1.2).astype(np.float32)
     cols = rng.uniform(0.1, 0.9, size=(N_GAUSS, 3)).astype(np.float32)
     state = gm.create_from_points(pts, cols, capacity=CAPACITY)
+    # shrink splats so the scene fits the instance budget (no overflow):
+    # 3-NN init on a random cloud gives ~12M tile instances at 1600x1200,
+    # 11x over budget — a truncated render would overstate rays/s
+    state = state.replace(
+        params=state.params.replace(scaling=state.params.scaling + np.log(0.22))
+    )
     cam = Camera.look_at(
         [0.0, 0.8, -5.0], [0, 0, 0], [0, 1, 0], 0.9, 0.7, WIDTH, HEIGHT
     )
@@ -64,8 +70,9 @@ def main():
     pcfg = PipelineConfig(max_per_tile=512)
     step = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=5.0)
 
-    # NOTE: sync by fetching the loss every step — block_until_ready on the
-    # final value alone under-measures through the remote-execution tunnel.
+    # chained steps with one final fetch: each step consumes the previous
+    # TrainState, so the final loss forces the whole chain (verified to scale
+    # linearly in N); a per-step fetch would add ~25ms tunnel latency each
     for _ in range(WARMUP):
         ts, metrics = step(ts, cam, gt, bg, 0, WIDTH, HEIGHT)
         float(metrics["loss"])
@@ -73,7 +80,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(ITERS):
         ts, metrics = step(ts, cam, gt, bg, 0, WIDTH, HEIGHT)
-        float(metrics["loss"])
+    float(metrics["loss"])
     dt = (time.perf_counter() - t0) / ITERS
 
     rays_per_s = WIDTH * HEIGHT / dt

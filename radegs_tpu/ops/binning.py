@@ -127,10 +127,11 @@ def bin_gaussians(
     tid_s, _, gid_s = jax.lax.sort((tid, sort_rank, gid), num_keys=2)
 
     # --- per-tile ranges --- (identifyTileRanges, rasterizer_impl.cu:151-173)
-    tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tid_s, tile_idx, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(tid_s, tile_idx, side="right").astype(jnp.int32)
-    tile_count_full = tile_end - tile_start
+    # histogram + exclusive cumsum instead of searchsorted: XLA lowers
+    # searchsorted to a vmapped while-loop (~25ms); a scatter-add is ~2ms
+    hist = jnp.zeros((num_tiles + 1,), jnp.int32).at[tid_s].add(1)[:num_tiles]
+    tile_start = (jnp.cumsum(hist) - hist).astype(jnp.int32)
+    tile_count_full = hist
     tile_count = jnp.minimum(tile_count_full, max_per_tile)
     tile_overflow = jnp.sum(tile_count_full - tile_count)
     max_tile_count = jnp.max(tile_count_full)

@@ -1,0 +1,636 @@
+"""Pallas TPU forward blend kernel — the hot rasterization loop.
+
+The XLA scan path (ops/rasterize.py) must process the full static per-tile
+capacity K for every tile; this kernel is the CUDA-style work-proportional
+version (forward.cu:428-693): grid over image tiles, each program walks ONLY
+its tile's ``count`` instances from the depth-sorted flat instance list
+(ops/binning.py), streaming them through VMEM with double-buffered DMA.
+
+Layout decisions (see pallas_guide):
+- instance features are pre-gathered once in XLA into a (24, B) array —
+  feature rows on sublanes, instances on lanes — so each chunk DMA is a
+  contiguous (24, CH) slice, and HBM carries no lane padding.
+- all per-chunk compute is (CH, 256): CH instances on sublanes, the tile's
+  16x16 pixels on lanes.
+- per-pixel sequential front-to-back blending is replaced by a log2(CH)-step
+  shifted-multiply cumulative product of (1 - alpha) — exactly the math of
+  ops/blend_math, no transcendentals beyond the Gaussian exp itself.
+
+Outputs per tile: 17 channels x 256 px:
+  [0:3] color, [3] weight, [4] dist, [5:8] coord, [8:11] normal,
+  [11] med_t, [12:15] med_coord, [15] t_final, [16] med_pos (int32 bits).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radegs_tpu.ops.binning import TileBinning, tile_grid
+
+ALPHA_EPS = 1.0 / 255.0
+T_EPS = 1e-4
+MAX_ALPHA = 0.99
+
+N_FEAT = 24
+N_OUT = 17
+# feature row indices in the packed (24, B) array
+FEAT_LAYOUT = dict(
+    xy=(0, 2), conic=(2, 5), opacity=(5, 6), rgb=(6, 9), ts=(9, 10),
+    ray_plane=(10, 12), view_point=(12, 15), camera_plane_x=(15, 18),
+    camera_plane_y=(18, 21), normal=(21, 24),
+)
+
+
+def pack_features(xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts):
+    """(P, k) attributes -> (24, P) packed rows (lane-friendly layout)."""
+    rows = [
+        xy.T,              # 0:2
+        conic.T,           # 2:5
+        opacity[None, :],  # 5
+        rgb.T,             # 6:9
+        ts[None, :],       # 9
+        ray_plane.T,       # 10:12
+        view_point.T,      # 12:15
+        camera_plane[:, :, 0].T,  # 15:18
+        camera_plane[:, :, 1].T,  # 18:21
+        normal.T,          # 21:24
+    ]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _shift_down(x, sh, fill):
+    """Shift rows down by sh along axis 0, filling the top with ``fill``."""
+    top = jnp.full((sh,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([top, x[:-sh]], axis=0)
+
+
+def _cumprod0(x, n: int):
+    """Inclusive cumulative product along axis 0 (length n, power of two)."""
+    sh = 1
+    while sh < n:
+        x = x * _shift_down(x, sh, 1.0)
+        sh *= 2
+    return x
+
+
+def _cumor0(x, n: int):
+    """Inclusive cumulative OR along axis 0 (bool in/out, length n).
+    Runs as a float max-scan: Mosaic cannot concat i1 vectors."""
+    f = jnp.where(x, 1.0, 0.0)
+    sh = 1
+    while sh < n:
+        f = jnp.maximum(f, _shift_down(f, sh, 0.0))
+        sh *= 2
+    return f > 0.5
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    start_ref, count_ref,
+    # inputs
+    feat_hbm,
+    # outputs
+    out_ref,
+    # scratch
+    fbuf, sems,
+    *, chunk: int, tiles_x: int, tile: int,
+):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    count = count_ref[t]
+    CH = chunk
+    px = tile * tile
+
+    tx = t % tiles_x
+    ty = t // tiles_x
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, px), 1)
+    pix_x = (tx * tile + lane % tile).astype(jnp.float32)
+    pix_y = (ty * tile + lane // tile).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
+
+    n_chunks = pl.cdiv(count, CH)
+
+    def dma(slot, ci):
+        # start is CH-aligned by construction (aligned_instance_layout)
+        off = pl.multiple_of(start + ci * CH, CH)
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(off, CH)],
+            fbuf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    f32 = jnp.float32
+    zeros = lambda: jnp.zeros((1, px), f32)
+    init = dict(
+        t_cur=jnp.ones((1, px), f32),
+        done=jnp.zeros((1, px), jnp.float32),  # 0/1 mask (bool carries fail to legalize)
+        c_r=zeros(), c_g=zeros(), c_b=zeros(),
+        wsum=zeros(), dist=zeros(),
+        x0=zeros(), x1=zeros(), x2=zeros(),
+        n0=zeros(), n1=zeros(), n2=zeros(),
+        med_t=zeros(), m0=zeros(), m1=zeros(), m2=zeros(),
+        med_pos=jnp.full((1, px), -1, jnp.int32),
+    )
+
+    def body(ci, acc):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma(1 - slot, ci + 1).start()
+
+        dma(slot, ci).wait()
+        ft = fbuf[slot].T  # (CH, 24)
+
+        def col(i):
+            return ft[:, i][:, None]  # (CH, 1)
+
+        in_range = (ci * CH + row) < count  # (CH, 1)
+        dx = col(0) - pix_x  # (CH, px)
+        dy = col(1) - pix_y
+        ca, cb, cc = col(2), col(3), col(4)
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        falloff = jnp.exp(jnp.minimum(power, 0.0))
+        raw = col(5) * falloff
+        alpha = jnp.minimum(MAX_ALPHA, raw)
+        cand = (power <= 0.0) & (alpha >= ALPHA_EPS) & in_range
+        alpha = jnp.where(cand, alpha, 0.0)
+        one_minus = 1.0 - alpha
+
+        cum = _cumprod0(one_minus, CH)
+        t_prefix = acc["t_cur"] * _shift_down(cum, 1, 1.0)
+        terminate = (alpha > 0.0) & (t_prefix * one_minus < T_EPS)
+        killed = _cumor0(terminate, CH)
+        include = (alpha > 0.0) & ~killed & (acc["done"] < 0.5)
+        w = jnp.where(include, alpha * t_prefix, 0.0)
+
+        t_ray = col(9) + col(10) * dx + col(11) * dy
+        cx = col(12) + col(15) * dx + col(18) * dy
+        cy = col(13) + col(16) * dx + col(19) * dy
+        cz = col(14) + col(17) * dx + col(20) * dy
+
+        def red(v):
+            return jnp.sum(v, axis=0, keepdims=True)  # (1, px)
+
+        acc["c_r"] += red(w * col(6))
+        acc["c_g"] += red(w * col(7))
+        acc["c_b"] += red(w * col(8))
+        acc["wsum"] += red(w)
+        acc["dist"] += red(w * t_ray)
+        acc["x0"] += red(w * cx)
+        acc["x1"] += red(w * cy)
+        acc["x2"] += red(w * cz)
+        acc["n0"] += red(w * col(21))
+        acc["n1"] += red(w * col(22))
+        acc["n2"] += red(w * col(23))
+
+        # median: last include-contributor with T > 0.5 (forward.cu:580,603)
+        pos = ci * CH + row  # (CH, 1)
+        med_mask = include & (t_prefix > 0.5)
+        cand_pos = jnp.where(med_mask, pos + jnp.zeros_like(dx, jnp.int32), -1)
+        chunk_med = jnp.max(cand_pos, axis=0, keepdims=True)  # (1, px)
+        has = chunk_med >= 0
+        sel = med_mask & (cand_pos == chunk_med)
+
+        def pick(v):
+            return jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+
+        acc["med_t"] = jnp.where(has, pick(t_ray), acc["med_t"])
+        acc["m0"] = jnp.where(has, pick(cx), acc["m0"])
+        acc["m1"] = jnp.where(has, pick(cy), acc["m1"])
+        acc["m2"] = jnp.where(has, pick(cz), acc["m2"])
+        acc["med_pos"] = jnp.where(has, chunk_med, acc["med_pos"])
+
+        # reduce_prod / reduce_or are not lowered on TPU Pallas: take the
+        # last row of a masked cumprod, and a max-reduce for "any"
+        cum_inc = _cumprod0(jnp.where(include, one_minus, 1.0), CH)
+        acc["t_cur"] = acc["t_cur"] * cum_inc[CH - 1 : CH]
+        any_term = jnp.max(terminate.astype(jnp.float32), axis=0, keepdims=True)
+        acc["done"] = jnp.maximum(acc["done"], any_term)
+        return acc
+
+    acc = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    out = jnp.concatenate(
+        [
+            acc["c_r"], acc["c_g"], acc["c_b"], acc["wsum"], acc["dist"],
+            acc["x0"], acc["x1"], acc["x2"], acc["n0"], acc["n1"], acc["n2"],
+            acc["med_t"], acc["m0"], acc["m1"], acc["m2"], acc["t_cur"],
+            pltpu.bitcast(acc["med_pos"], jnp.float32),
+        ],
+        axis=0,
+    )  # (17, px)
+    out_ref[0] = out
+
+
+def aligned_instance_layout(binning: TileBinning, num_tiles: int, chunk: int):
+    """Re-lay the depth-sorted flat instance list so every tile's run starts
+    at a chunk-aligned offset (TPU DMA lane slices must be 128-aligned).
+    Returns (gauss_id_aligned (B_pad,), aligned_start (T,)); pad slots are -1
+    and always sit at ranks >= tile_count (masked by the kernel's in_range).
+    """
+    B = binning.gauss_id.shape[0]
+    T = num_tiles
+    B_pad = B + T * chunk  # worst case: every tile padded by < chunk
+
+    padded = ((binning.tile_count + chunk - 1) // chunk) * chunk
+    astart = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+
+    tid = jnp.clip(binning.tile_id, 0, T - 1)
+    r = jnp.arange(B, dtype=jnp.int32) - binning.tile_start[tid]
+    ok = (binning.tile_id < T) & (r >= 0) & (r < binning.tile_count[tid])
+    dest = jnp.where(ok, astart[tid] + r, B_pad)
+    gid_aligned = (
+        jnp.full((B_pad + 1,), -1, jnp.int32).at[dest].set(binning.gauss_id)[:B_pad]
+    )
+    return gid_aligned, astart
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile", "chunk", "interpret"))
+def blend_forward_pallas(
+    binning: TileBinning,
+    xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts,
+    *, width: int, height: int, tile: int = 16, chunk: int = 128, interpret: bool = False,
+):
+    """Forward blend via the Pallas kernel. Returns the same raw-accumulator
+    dict as ops.rasterize._blend_forward_scan (channels-leading)."""
+    P = xy.shape[0]
+    tiles_x, tiles_y = tile_grid(width, height, tile)
+    T = tiles_x * tiles_y
+    px = tile * tile
+
+    feat = pack_features(
+        xy, conic, opacity[:, 0] if opacity.ndim == 2 else opacity,
+        rgb, view_point, camera_plane, ray_plane, normal, ts,
+    )  # (24, P)
+    gid_aligned, astart = aligned_instance_layout(binning, T, chunk)
+    feat_sorted = jnp.take(feat, jnp.clip(gid_aligned, 0, P - 1), axis=1)  # (24, B_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, N_OUT, px), lambda t, s, c: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, N_FEAT, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, chunk=chunk, tiles_x=tiles_x, tile=tile),
+        out_shape=jax.ShapeDtypeStruct((T, N_OUT, px), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(astart, binning.tile_count, feat_sorted)
+
+    return {
+        "color_raw": out[:, 0:3].transpose(1, 0, 2),
+        "weight": out[:, 3],
+        "dist_raw": out[:, 4],
+        "coord_raw": out[:, 5:8].transpose(1, 0, 2),
+        "normal_raw": out[:, 8:11].transpose(1, 0, 2),
+        "med_t": out[:, 11],
+        "med_coord": out[:, 12:15].transpose(1, 0, 2),
+        "t_final": out[:, 15],
+        "med_pos": jax.lax.bitcast_convert_type(out[:, 16], jnp.int32),
+    }
+
+
+# ============================================================== backward ====
+
+N_GRAD = 25  # per-instance gradient rows, padded to 32 for the HBM write
+N_GRAD_PAD = 32
+# grad row layout: 0:2 xy, 2 xy_abs, 3:6 conic, 6 opacity, 7:10 rgb,
+# 10:13 view_point, 13:16 camera_plane[:, :, 0], 16:19 camera_plane[:, :, 1],
+# 19:21 ray_plane, 21:24 normal, 24 ts
+
+
+def _cumsum0(x, n: int):
+    """Inclusive cumulative sum along axis 0 (length n, power of two)."""
+    sh = 1
+    while sh < n:
+        x = x + _shift_down(x, sh, 0.0)
+        sh *= 2
+    return x
+
+
+# aux row layout (cotangents + forward totals packed per tile):
+# 0:3 g_c, 3 g_w, 4 g_d, 5:8 g_x, 8:11 g_n, 11 g_tf, 12 g_mt, 13:16 g_mx,
+# 16:19 tot_c, 19 tot_w, 20 tot_d, 21:24 tot_x, 24:27 tot_n, 27 t_final,
+# 28 med_pos (int32 bits)
+N_AUX = 32
+
+
+def _bwd_kernel(
+    # scalar prefetch
+    start_ref, count_ref,
+    # inputs: packed instance features (HBM) + per-tile aux block (VMEM)
+    feat_hbm,
+    aux_ref,
+    # output: per-instance gradients (HBM, manual DMA)
+    grad_hbm,
+    # scratch
+    fbuf, obuf, fsems, osems,
+    *, chunk: int, tiles_x: int, tile: int, width: int, height: int,
+):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    count = count_ref[t]
+    CH = chunk
+    px = tile * tile
+
+    tx_i = t % tiles_x
+    ty_i = t // tiles_x
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, px), 1)
+    pix_x = (tx_i * tile + lane % tile).astype(jnp.float32)
+    pix_y = (ty_i * tile + lane // tile).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
+
+    n_chunks = pl.cdiv(count, CH)
+
+    def fdma(slot, ci):
+        off = pl.multiple_of(start + ci * CH, CH)
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(off, CH)], fbuf.at[slot], fsems.at[slot]
+        )
+
+    def odma(slot, ci):
+        off = pl.multiple_of(start + ci * CH, CH)
+        return pltpu.make_async_copy(
+            obuf.at[slot], grad_hbm.at[:, pl.ds(off, CH)], osems.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        fdma(0, 0).start()
+
+    # per-tile cotangents / totals, each (1, px), from the packed aux block
+    def a(k):
+        return aux_ref[0, k : k + 1, :]
+
+    gc = [a(k) for k in range(0, 3)]
+    gw, gd = a(3), a(4)
+    gx = [a(k) for k in range(5, 8)]
+    gn = [a(k) for k in range(8, 11)]
+    gtf, gmt = a(11), a(12)
+    gmx = [a(k) for k in range(13, 16)]
+    tc = [a(k) for k in range(16, 19)]
+    tw, td = a(19), a(20)
+    txx = [a(k) for k in range(21, 24)]
+    tn = [a(k) for k in range(24, 27)]
+    tf = a(27)
+    mp = pltpu.bitcast(a(28), jnp.int32)
+
+    f32 = jnp.float32
+    zrow = lambda: jnp.zeros((1, px), f32)
+    init = dict(
+        t_cur=jnp.ones((1, px), f32), done=zrow(),
+        pre_c0=zrow(), pre_c1=zrow(), pre_c2=zrow(),
+        pre_w=zrow(), pre_d=zrow(),
+        pre_x0=zrow(), pre_x1=zrow(), pre_x2=zrow(),
+        pre_n0=zrow(), pre_n1=zrow(), pre_n2=zrow(),
+    )
+
+    def body(ci, acc):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            fdma(1 - slot, ci + 1).start()
+
+        fdma(slot, ci).wait()
+        ft = fbuf[slot].T  # (CH, 24)
+
+        def col(i):
+            return ft[:, i][:, None]
+
+        in_range = (ci * CH + row) < count
+        dx = col(0) - pix_x
+        dy = col(1) - pix_y
+        ca, cb, cc = col(2), col(3), col(4)
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        falloff = jnp.exp(jnp.minimum(power, 0.0))
+        raw = col(5) * falloff
+        alpha = jnp.minimum(MAX_ALPHA, raw)
+        cand = (power <= 0.0) & (alpha >= ALPHA_EPS) & in_range
+        alpha = jnp.where(cand, alpha, 0.0)
+        one_minus = 1.0 - alpha
+
+        cum = _cumprod0(one_minus, CH)
+        t_prefix = acc["t_cur"] * _shift_down(cum, 1, 1.0)
+        terminate = (alpha > 0.0) & (t_prefix * one_minus < T_EPS)
+        killed = _cumor0(terminate, CH)
+        include = (alpha > 0.0) & ~killed & (acc["done"] < 0.5)
+        w = jnp.where(include, alpha * t_prefix, 0.0)
+
+        rgb_c = [col(6), col(7), col(8)]
+        n_c = [col(21), col(22), col(23)]
+        t_ray = col(9) + col(10) * dx + col(11) * dy
+        coord = [
+            col(12) + col(15) * dx + col(18) * dy,
+            col(13) + col(16) * dx + col(19) * dy,
+            col(14) + col(17) * dx + col(20) * dy,
+        ]
+
+        # inclusive prefixes (carried + in-chunk cumsum)
+        pc = [acc[f"pre_c{k}"] + _cumsum0(w * rgb_c[k], CH) for k in range(3)]
+        pn = [acc[f"pre_n{k}"] + _cumsum0(w * n_c[k], CH) for k in range(3)]
+        pxs = [acc[f"pre_x{k}"] + _cumsum0(w * coord[k], CH) for k in range(3)]
+        pw = acc["pre_w"] + _cumsum0(w, CH)
+        pd = acc["pre_d"] + _cumsum0(w * t_ray, CH)
+
+        dL_dw = gw + gd * t_ray
+        suffix = gw * (tw - pw) + gd * (td - pd) + gtf * tf
+        for k in range(3):
+            dL_dw += gc[k] * rgb_c[k] + gn[k] * n_c[k] + gx[k] * coord[k]
+            suffix += gc[k] * (tc[k] - pc[k]) + gn[k] * (tn[k] - pn[k]) + gx[k] * (
+                txx[k] - pxs[k]
+            )
+        dL_dalpha = jnp.where(include, t_prefix * dL_dw - suffix / one_minus, 0.0)
+
+        # median routing (backward.cu:909-936)
+        pos = (ci * CH + row) + jnp.zeros((CH, px), jnp.int32)
+        is_med = include & (pos == mp)
+        is_med_f = jnp.where(is_med, 1.0, 0.0)
+        dL_dt = w * gd + is_med_f * gmt
+        dL_dcoord = [w * gx[k] + is_med_f * gmx[k] for k in range(3)]
+
+        unclipped = (raw < MAX_ALPHA) & include
+        dL_draw = jnp.where(unclipped, dL_dalpha, 0.0)
+        dL_dop = dL_draw * falloff
+        dL_dG = dL_draw * col(5)
+
+        gdx, gdy = falloff * dx, falloff * dy
+        dG_ddelx = -gdx * ca - gdy * cb
+        dG_ddely = -gdy * cc - gdx * cb
+        dL_ddelx = dL_dG * dG_ddelx + dL_dt * col(10)
+        dL_ddely = dL_dG * dG_ddely + dL_dt * col(11)
+        for k in range(3):
+            dL_ddelx += dL_dcoord[k] * col(15 + k)
+            dL_ddely += dL_dcoord[k] * col(18 + k)
+        absg = jnp.abs(dL_dG * dG_ddelx) * (width * 0.5) + jnp.abs(
+            dL_dG * dG_ddely
+        ) * (height * 0.5)
+
+        def red(v):
+            return jnp.sum(v, axis=1, keepdims=True)  # (CH, 1)
+
+        cols = [
+            red(dL_ddelx), red(dL_ddely), red(absg),
+            red(-0.5 * gdx * dx * dL_dG), red(-gdx * dy * dL_dG),
+            red(-0.5 * gdy * dy * dL_dG),
+            red(dL_dop),
+            red(w * gc[0]), red(w * gc[1]), red(w * gc[2]),
+            red(dL_dcoord[0]), red(dL_dcoord[1]), red(dL_dcoord[2]),
+            red(dL_dcoord[0] * dx), red(dL_dcoord[1] * dx), red(dL_dcoord[2] * dx),
+            red(dL_dcoord[0] * dy), red(dL_dcoord[1] * dy), red(dL_dcoord[2] * dy),
+            red(dL_dt * dx), red(dL_dt * dy),
+            red(w * gn[0]), red(w * gn[1]), red(w * gn[2]),
+            red(dL_dt),
+        ]
+        gmat = jnp.concatenate(cols, axis=1)  # (CH, 25)
+        gmat = jnp.concatenate(
+            [gmat, jnp.zeros((CH, N_GRAD_PAD - N_GRAD), f32)], axis=1
+        )
+
+        oslot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci >= 2)
+        def _():
+            odma(oslot, ci - 2).wait()
+
+        obuf[oslot] = gmat.T  # (32, CH)
+        odma(oslot, ci).start()
+
+        # carries
+        acc["t_cur"] = acc["t_cur"] * _cumprod0(
+            jnp.where(include, one_minus, 1.0), CH
+        )[CH - 1 : CH]
+        acc["done"] = jnp.maximum(
+            acc["done"], jnp.max(jnp.where(terminate, 1.0, 0.0), axis=0, keepdims=True)
+        )
+        for k in range(3):
+            acc[f"pre_c{k}"] = pc[k][CH - 1 : CH]
+            acc[f"pre_n{k}"] = pn[k][CH - 1 : CH]
+            acc[f"pre_x{k}"] = pxs[k][CH - 1 : CH]
+        acc["pre_w"] = pw[CH - 1 : CH]
+        acc["pre_d"] = pd[CH - 1 : CH]
+        return acc
+
+    jax.lax.fori_loop(0, n_chunks, body, init)
+
+    # drain the last two output DMAs
+    @pl.when(n_chunks >= 2)
+    def _():
+        odma(jax.lax.rem(n_chunks - 2, 2), n_chunks - 2).wait()
+
+    @pl.when(n_chunks >= 1)
+    def _():
+        odma(jax.lax.rem(n_chunks - 1, 2), n_chunks - 1).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile", "chunk", "interpret"))
+def blend_backward_pallas(
+    binning: TileBinning,
+    inputs,
+    fwd_out,
+    cot,
+    *, width: int, height: int, tile: int = 16, chunk: int = 128, interpret: bool = False,
+):
+    """Backward blend via the Pallas kernel: per-tile back-walk emitting
+    per-instance gradients, reduced to per-Gaussian by a deterministic
+    XLA scatter-add (replaces backward.cu:631-1016 + atomicAdd)."""
+    xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts = inputs
+    P = xy.shape[0]
+    tiles_x, tiles_y = tile_grid(width, height, tile)
+    T = tiles_x * tiles_y
+    px = tile * tile
+
+    feat = pack_features(
+        xy, conic, opacity[:, 0] if opacity.ndim == 2 else opacity,
+        rgb, view_point, camera_plane, ray_plane, normal, ts,
+    )
+    gid_aligned, astart = aligned_instance_layout(binning, T, chunk)
+    B_pad = gid_aligned.shape[0]
+    feat_sorted = jnp.take(feat, jnp.clip(gid_aligned, 0, P - 1), axis=1)
+
+    # pack cotangents + forward totals into one (T, 32, px) aux block
+    # (row layout documented above _bwd_kernel)
+    def rows3(x):  # (3, T, px) -> (T, 3, px)
+        return x.transpose(1, 0, 2)
+
+    def row1(x):  # (T, px) -> (T, 1, px)
+        return x[:, None, :]
+
+    med_bits = jax.lax.bitcast_convert_type(
+        fwd_out["med_pos"].astype(jnp.int32), jnp.float32
+    )
+    aux = jnp.concatenate(
+        [
+            rows3(cot["color_raw"]), row1(cot["weight"]), row1(cot["dist_raw"]),
+            rows3(cot["coord_raw"]), rows3(cot["normal_raw"]),
+            row1(cot["t_final"]), row1(cot["med_t"]), rows3(cot["med_coord"]),
+            rows3(fwd_out["color_raw"]), row1(fwd_out["weight"]),
+            row1(fwd_out["dist_raw"]), rows3(fwd_out["coord_raw"]),
+            rows3(fwd_out["normal_raw"]), row1(fwd_out["t_final"]),
+            row1(med_bits),
+            jnp.zeros((T, N_AUX - 29, px), jnp.float32),
+        ],
+        axis=1,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # feat
+            pl.BlockSpec((1, N_AUX, px), lambda t, s, c: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # grad (32, B_pad)
+        scratch_shapes=[
+            pltpu.VMEM((2, N_FEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, N_GRAD_PAD, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    grad_inst = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, chunk=chunk, tiles_x=tiles_x, tile=tile,
+            width=width, height=height,
+        ),
+        out_shape=jax.ShapeDtypeStruct((N_GRAD_PAD, B_pad), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(astart, binning.tile_count, feat_sorted, aux)
+
+    # deterministic segment reduction: instance -> gaussian
+    gid_safe = jnp.where(gid_aligned >= 0, gid_aligned, P)
+    acc = jnp.zeros((N_GRAD, P + 1), jnp.float32).at[:, gid_safe].add(
+        grad_inst[:N_GRAD]
+    )[:, :P]
+
+    return dict(
+        xy=acc[0:2].T,
+        xy_abs=jnp.stack([acc[2], jnp.zeros_like(acc[2])], axis=-1),
+        conic=acc[3:6].T,
+        opacity=acc[6],
+        rgb=acc[7:10].T,
+        view_point=acc[10:13].T,
+        camera_plane=jnp.stack([acc[13:16].T, acc[16:19].T], axis=-1),
+        ray_plane=acc[19:21].T,
+        normal=acc[21:24].T,
+        ts=acc[24],
+    )

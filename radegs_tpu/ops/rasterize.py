@@ -58,6 +58,7 @@ class RasterCfg(NamedTuple):
     height: int
     tile: int = 16
     chunk: int = 8
+    backend: str = "xla"  # "xla" | "pallas" | "pallas_interpret"
 
 
 def _tile_pixel_coords(cfg: RasterCfg):
@@ -407,30 +408,50 @@ def _blend_backward_scan(cfg: RasterCfg, tile_gauss, inputs, fwd_out, cot):
 # ====================================================== custom_vjp glue ====
 
 
+def _forward_dispatch(cfg: RasterCfg, binning, inputs):
+    if cfg.backend in ("pallas", "pallas_interpret"):
+        from radegs_tpu.ops.pallas_blend import blend_forward_pallas
+
+        return blend_forward_pallas(
+            binning, *inputs, width=cfg.width, height=cfg.height, tile=cfg.tile,
+            interpret=(cfg.backend == "pallas_interpret"),
+        )
+    return _blend_forward_scan(cfg, binning.tile_gauss, inputs)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _blend(cfg: RasterCfg, tile_gauss, xy, xy_abs, conic, opacity, rgb, view_point,
+def _blend(cfg: RasterCfg, binning, xy, xy_abs, conic, opacity, rgb, view_point,
            camera_plane, ray_plane, normal, ts):
     del xy_abs
-    return _blend_forward_scan(
-        cfg, tile_gauss, (xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts)
+    return _forward_dispatch(
+        cfg, binning, (xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts)
     )
 
 
-def _blend_fwd(cfg, tile_gauss, xy, xy_abs, conic, opacity, rgb, view_point,
+def _blend_fwd(cfg, binning, xy, xy_abs, conic, opacity, rgb, view_point,
                camera_plane, ray_plane, normal, ts):
     inputs = (xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts)
-    out = _blend_forward_scan(cfg, tile_gauss, inputs)
-    return out, (tile_gauss, inputs, out)
+    out = _forward_dispatch(cfg, binning, inputs)
+    return out, (binning, inputs, out)
 
 
 def _blend_bwd(cfg, res, cot):
-    tile_gauss, inputs, fwd_out = res
+    binning, inputs, fwd_out = res
     cot = dict(cot)
     # non-differentiable outputs
     cot["med_pos"] = None
-    grads = _blend_backward_scan(cfg, tile_gauss, inputs, fwd_out, cot)
+    if cfg.backend in ("pallas", "pallas_interpret"):
+        from radegs_tpu.ops.pallas_blend import blend_backward_pallas
+
+        grads = blend_backward_pallas(
+            binning, inputs, fwd_out, cot,
+            width=cfg.width, height=cfg.height, tile=cfg.tile,
+            interpret=(cfg.backend == "pallas_interpret"),
+        )
+    else:
+        grads = _blend_backward_scan(cfg, binning.tile_gauss, inputs, fwd_out, cot)
     return (
-        None,  # tile_gauss
+        None,  # binning
         grads["xy"],
         grads["xy_abs"],
         grads["conic"],
@@ -460,6 +481,7 @@ def rasterize(
     tile: int = 16,
     chunk: int = 8,
     xy_abs=None,
+    backend: str | None = None,
 ):
     """Full rasterization: binning + blending + output normalization.
 
@@ -468,8 +490,15 @@ def rasterize(
 
     ``xy_abs``: optional (P,2) zeros; pass it and take gradients w.r.t. it to
     obtain the GOF absolute screen-gradient densification statistic.
+
+    ``backend``: "xla" | "pallas" | "pallas_interpret"; None = auto
+    ("pallas" on TPU, "xla" elsewhere).
     """
-    cfg = RasterCfg(width=camera.width, height=camera.height, tile=tile, chunk=chunk)
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    cfg = RasterCfg(
+        width=camera.width, height=camera.height, tile=tile, chunk=chunk, backend=backend
+    )
     if binning is None:
         if instance_budget is None:
             instance_budget = default_instance_budget(prep.xy.shape[0])
@@ -489,7 +518,7 @@ def rasterize(
 
     raw = _blend(
         cfg,
-        binning.tile_gauss,
+        binning,
         prep.xy,
         xy_abs,
         prep.conic,

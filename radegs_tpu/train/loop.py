@@ -273,8 +273,13 @@ def train(
             m["iteration"] = it
             m["n_active"] = int(ts.gaussians.n_active())
             history.append(m)
-            for cb in callbacks:
-                cb(it, ts, m)
+        else:
+            m = None
+        # callbacks run EVERY iteration; m is floats at log points, else None
+        # (callbacks must not force device values off-schedule — each fetch
+        # costs a host sync)
+        for cb in callbacks:
+            cb(it, ts, m)
     return ts, history
 
 
