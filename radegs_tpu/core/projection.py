@@ -60,6 +60,7 @@ class PreprocessOut:
     ts: Any  # (P,)   ray-space distance of center
     radius: Any  # (P,)   float screen-space radius (0 when culled)
     well_conditioned: Any  # (P,) bool — Sigma invertible (integrate path)
+    invraycov: Any = None  # (P,3,3) inverse ray-space covariance (integrate)
 
 
 def ndc2pix(v, size):
@@ -90,6 +91,7 @@ def preprocess_gaussians(
     colors_precomp=None,
     cov3d_precomp=None,
     active_sh_degree=None,
+    compute_invraycov: bool = False,
 ) -> PreprocessOut:
     """Vectorized preprocess over P Gaussians (forward.cu:307-423).
 
@@ -262,6 +264,31 @@ def preprocess_gaussians(
 
     ts = jnp.linalg.norm(p_view, axis=-1)  # forward.cu:381
 
+    # --- inverse ray-space covariance for the integrate path ---
+    # (the INTE branch of computeCov2D, forward.cu:187-235, derived from
+    # first principles: ray space r(p) = (fx x/z + cx, fy y/z + cy, |p|),
+    # invraycov = (J_r Sigma_view J_r^T)^-1 at the cone-clamped center.
+    # NOTE the reference's ill-conditioned branch assigns a shadowed local
+    # (forward.cu:214 declares a NEW inv_cov_ray) so its output there is
+    # uninitialized memory; with the Mip 3D filter Sigma is never degenerate,
+    # and we use an eigenvalue-clamped inverse for that (dead) branch instead.
+    invraycov = None
+    if compute_invraycov:
+        jr = jnp.stack(
+            [
+                jnp.stack([fx * inv_z, jnp.zeros_like(z), -fx * tx * inv_z2], -1),
+                jnp.stack([jnp.zeros_like(z), fy * inv_z, -fy * ty * inv_z2], -1),
+                jnp.stack(
+                    [tx / l_clamped, ty / l_clamped, z / l_clamped], -1
+                ),
+            ],
+            axis=-2,
+        )  # (P,3,3)
+        v_view = jnp.einsum("ij,pjk,lk->pil", Rw2c, cov3d, Rw2c)
+        cov_ray = jnp.einsum("pij,pjk,plk->pil", jr, v_view, jr)
+        reg = jnp.where(well, 0.0, 1e-6)[:, None, None] * jnp.eye(3)
+        invraycov = sym3x3_inverse(cov_ray + reg)
+
     valid = in_front & nonsingular & (radius > 0)
     radius = jnp.where(valid, radius, 0.0)
 
@@ -279,4 +306,5 @@ def preprocess_gaussians(
         ts=ts,
         radius=radius,
         well_conditioned=well,
+        invraycov=invraycov,
     )

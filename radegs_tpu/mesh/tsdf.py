@@ -1,0 +1,212 @@
+"""TSDF fusion of rendered median depth + mesh extraction.
+
+Native replacement for the reference's Open3D VoxelBlockGrid path
+(mesh_extract.py:54-105): per view, render median depth masked at
+alpha < 0.5 (and optional GT mask), then integrate a truncated SDF over a
+dense voxel grid (processed in z-slabs on device), and mesh the zero level
+set with marching tetrahedra over a 6-tet cube split (linear interpolation —
+no binary search; the TSDF itself is already the refined field).
+
+Matches the reference's integration constants: voxel 0.002 (DTU scale),
+depth_scale 1.0, depth_max 8.0, truncation 8 voxels
+(o3d VoxelBlockGrid.integrate trunc_voxel_multiplier default).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from radegs_tpu.mesh.tetmesh import marching_tetrahedra
+from radegs_tpu.utils import ply as plyio
+
+# 6-tetrahedra decomposition of a unit cube (corner ids by bit order x+2y+4z)
+CUBE_TETS = np.array(
+    [
+        [0, 1, 3, 7],
+        [0, 1, 5, 7],
+        [0, 2, 3, 7],
+        [0, 2, 6, 7],
+        [0, 4, 5, 7],
+        [0, 4, 6, 7],
+    ],
+    np.int64,
+)
+
+
+def render_depth_maps(state, views, kernel_size, bg, max_per_tile=1024,
+                      alpha_thres=0.5, gt_masks=None):
+    """(depths, extrinsics, intrinsics) per view (mesh_extract.py:49-61)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radegs_tpu.renderer import render
+
+    out = []
+    for i, (cam, gt, vidx) in enumerate(views):
+        pkg = render(state, cam, bg, kernel_size=kernel_size, max_per_tile=max_per_tile)
+        depth = np.asarray(pkg["median_depth"][0])
+        mask = np.asarray(pkg["mask"][0])
+        depth = np.where(mask < alpha_thres, 0.0, depth)
+        if gt_masks is not None and gt_masks[i] is not None:
+            depth = np.where(np.asarray(gt_masks[i]) < 0.5, 0.0, depth)
+        fx = float(np.asarray(cam.focal_x))
+        fy = float(np.asarray(cam.focal_y))
+        K = np.array([[fx, 0, cam.width / 2.0], [0, fy, cam.height / 2.0], [0, 0, 1]])
+        E = np.asarray(cam.world_view)  # w2c 4x4
+        out.append((depth.astype(np.float32), E.astype(np.float32), K.astype(np.float32)))
+    return out
+
+
+def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
+              bounds=None, slab=16, max_resolution=768):
+    """Integrate depth maps into a dense TSDF grid.
+
+    Returns (tsdf (Z,Y,X), weight (Z,Y,X), origin (3,), voxel_size).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    trunc = trunc_multiplier * voxel_size
+    if bounds is None:
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        for depth, E, K in depth_maps:
+            H, W = depth.shape
+            ys, xs = np.nonzero(depth > 0)
+            if len(ys) == 0:
+                continue
+            d = depth[ys, xs]
+            # subsample for speed
+            if len(d) > 50_000:
+                sel = np.random.default_rng(0).choice(len(d), 50_000, replace=False)
+                ys, xs, d = ys[sel], xs[sel], d[sel]
+            x = (xs + 0.5 - K[0, 2]) / K[0, 0] * d
+            y = (ys + 0.5 - K[1, 2]) / K[1, 1] * d
+            pts_cam = np.stack([x, y, d], -1)
+            # p_cam = R p_w + t  ->  p_w = R^T (p_cam - t)
+            pts_w = (pts_cam - E[:3, 3][None]) @ E[:3, :3]
+            lo = np.minimum(lo, pts_w.min(0))
+            hi = np.maximum(hi, pts_w.max(0))
+        lo -= 4 * trunc
+        hi += 4 * trunc
+        bounds = (lo, hi)
+    lo, hi = bounds
+    dims = np.ceil((hi - lo) / voxel_size).astype(np.int64) + 1
+    if dims.max() > max_resolution:
+        # keep memory bounded: coarsen the grid (documented cap, not silent)
+        scale = dims.max() / max_resolution
+        voxel_size *= float(scale)
+        trunc = trunc_multiplier * voxel_size
+        dims = np.ceil((hi - lo) / voxel_size).astype(np.int64) + 1
+        print(f"[tsdf] grid capped to {dims} (voxel -> {voxel_size:.5f})")
+    X, Y, Z = int(dims[0]), int(dims[1]), int(dims[2])
+
+    Es = jnp.asarray(np.stack([E for _, E, _ in depth_maps]))
+    Ks = jnp.asarray(np.stack([K for _, _, K in depth_maps]))
+    Ds = jnp.asarray(np.stack([d for d, _, _ in depth_maps]))
+    H, W = depth_maps[0][0].shape
+
+    @jax.jit
+    def slab_tsdf(z0_world):
+        zs = z0_world + jnp.arange(slab) * voxel_size
+        gx = lo[0] + jnp.arange(X) * voxel_size
+        gy = lo[1] + jnp.arange(Y) * voxel_size
+        pts = jnp.stack(
+            jnp.meshgrid(zs, gy, gx, indexing="ij")[::-1], axis=-1
+        )  # (slab,Y,X,3) xyz
+
+        def per_view(E, K, D):
+            pc = pts @ E[:3, :3].T + E[:3, 3]
+            z = pc[..., 2]
+            u = K[0, 0] * pc[..., 0] / jnp.maximum(z, 1e-9) + K[0, 2]
+            v = K[1, 1] * pc[..., 1] / jnp.maximum(z, 1e-9) + K[1, 2]
+            ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 1)
+            vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 1)
+            dsmp = D[vi, ui]
+            inside = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (z > 0)
+            sdf = dsmp - z
+            valid = inside & (dsmp > 0) & (z < depth_max) & (sdf > -trunc)
+            return jnp.where(valid, jnp.clip(sdf / trunc, -1.0, 1.0), 0.0), valid
+
+        sdfs, valids = jax.vmap(per_view)(Es, Ks, Ds)
+        w = jnp.sum(valids.astype(jnp.float32), axis=0)
+        s = jnp.sum(sdfs, axis=0) / jnp.maximum(w, 1.0)
+        return s, w
+
+    tsdf = np.empty((Z, Y, X), np.float32)
+    weight = np.empty((Z, Y, X), np.float32)
+    for z0 in range(0, Z, slab):
+        s, w = slab_tsdf(lo[2] + z0 * voxel_size)
+        n = min(slab, Z - z0)
+        tsdf[z0 : z0 + n] = np.asarray(s)[:n]
+        weight[z0 : z0 + n] = np.asarray(w)[:n]
+    return tsdf, weight, np.asarray(lo, np.float32), voxel_size
+
+
+def tsdf_to_mesh(tsdf, weight, origin, voxel_size, min_weight=1.0):
+    """Zero-level-set mesh via marching tetrahedra over surface cubes."""
+    Z, Y, X = tsdf.shape
+    occ = tsdf > 0
+    valid = weight >= min_weight
+    # surface cubes: all 8 corners valid and signs mixed
+    def corners(a):
+        return np.stack(
+            [a[dz : Z - 1 + dz, dy : Y - 1 + dy, dx : X - 1 + dx]
+             for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
+            axis=-1,
+        )  # (..., 8) bit order x fastest? here dx fastest within (dz,dy,dx)
+
+    c_occ = corners(occ)
+    c_val = corners(valid)
+    n_in = c_occ.sum(-1)
+    surf = c_val.all(-1) & (n_in > 0) & (n_in < 8)
+    cz, cy, cx = np.nonzero(surf)
+    if len(cz) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+
+    # corner offsets in the same bit order as `corners`: bit0..7 = (dz,dy,dx)
+    offs = np.array([(dz, dy, dx) for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
+                    np.int64)
+    corner_idx = (
+        (cz[:, None] + offs[None, :, 0]) * (Y * X)
+        + (cy[:, None] + offs[None, :, 1]) * X
+        + (cx[:, None] + offs[None, :, 2])
+    )  # (C,8) flat grid vertex ids
+    tets = corner_idx[:, CUBE_TETS].reshape(-1, 4)  # (C*6,4)
+
+    used, inv = np.unique(tets.reshape(-1), return_inverse=True)
+    tets_local = inv.reshape(-1, 4)
+    uz = used // (Y * X)
+    uy = (used % (Y * X)) // X
+    ux = used % X
+    verts_grid = origin[None] + np.stack([ux, uy, uz], -1).astype(np.float64) * voxel_size
+    sdf_local = tsdf.reshape(-1)[used]
+
+    edge_points, edge_sdf, _, faces = marching_tetrahedra(
+        verts_grid, tets_local, sdf_local, np.ones_like(sdf_local)
+    )
+    # linear interpolation to the zero crossing
+    s0, s1 = edge_sdf[:, 0], edge_sdf[:, 1]
+    t = np.clip(np.abs(s0) / np.maximum(np.abs(s0 - s1), 1e-12), 0.0, 1.0)
+    verts = edge_points[:, 0] + t[:, None] * (edge_points[:, 1] - edge_points[:, 0])
+    return verts.astype(np.float32), faces
+
+
+def extract_mesh_tsdf(state, views, kernel_size, bg, voxel_size=0.002,
+                      out_path=None, gt_masks=None, max_per_tile=1024,
+                      max_resolution=768, verbose=True):
+    """The reference mesh_extract.py pipeline end-to-end."""
+    maps = render_depth_maps(state, views, kernel_size, bg,
+                             max_per_tile=max_per_tile, gt_masks=gt_masks)
+    if verbose:
+        print(f"rendered {len(maps)} depth maps")
+    tsdf, weight, origin, vsz = fuse_tsdf(maps, voxel_size=voxel_size,
+                                          max_resolution=max_resolution)
+    if verbose:
+        print(f"tsdf grid {tsdf.shape}, voxel {vsz:.5f}")
+    verts, faces = tsdf_to_mesh(tsdf, weight, origin, vsz)
+    if out_path is not None:
+        plyio.write_mesh(out_path, verts, faces)
+        if verbose:
+            print(f"wrote {out_path}: {verts.shape[0]} verts, {faces.shape[0]} faces")
+    return verts, faces

@@ -374,6 +374,33 @@ def maybe_grow(state: GaussianState, headroom: float = 0.9) -> GaussianState:
     )
 
 
+def get_tetra_points(state: GaussianState):
+    """Tetrahedralization seeds (gaussian_model.py:399-429): the 8 oriented
+    box corners at 3-sigma (filtered scales) plus the centers.
+
+    Returns (points (9n,3), point_scales (9n,)) over active Gaussians,
+    corners first then centers — matching the reference's ordering.
+    """
+    act = np.asarray(jax.device_get(state.active))
+    sel = np.nonzero(act)[0]
+    xyz = np.asarray(jax.device_get(state.params.xyz))[sel]
+    rot = np.asarray(jax.device_get(state.get_rotation()))[sel]
+    scales, _ = state.get_fused_scaling_opacity()
+    scale = np.asarray(jax.device_get(scales))[sel] * 3.0
+
+    R = np.asarray(jax.device_get(quat_to_rotmat(jnp.asarray(rot))))
+    # unit box corners (+-1), trimesh.creation.box() * 2 ordering-equivalent
+    corners = np.array(
+        [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)], np.float64
+    )  # (8,3)
+    pts = xyz[:, None, :] + np.einsum("nij,nkj->nki", R, corners[None] * scale[:, None, :])
+    pts = pts.reshape(-1, 3)
+    all_pts = np.concatenate([pts, xyz], axis=0)
+    smax = scale.max(axis=-1)
+    all_scales = np.concatenate([np.repeat(smax, 8), smax], axis=0)
+    return all_pts.astype(np.float32), all_scales.astype(np.float32)
+
+
 # ------------------------------------------------------------- PLY I/O ----
 
 

@@ -63,3 +63,40 @@ def render(
         xy_abs=xy_abs,
     )
     return out
+
+
+def integrate(
+    points3d,
+    state: GaussianState,
+    camera,
+    bg,
+    kernel_size: float = 0.0,
+    max_per_tile: int = 1024,
+    instance_budget: int | None = None,
+):
+    """Point-opacity integration (gaussian_renderer/__init__.py:98-195):
+    same preprocess as render() — filtered scales + filtered opacity — plus
+    the inverse ray-space covariance for 3D opacity evaluation."""
+    from radegs_tpu.ops.integrate import integrate as integrate_op
+
+    scales, opacity = state.get_fused_scaling_opacity()
+    opacity = jnp.where(state.active[:, None], opacity, 0.0)
+    prep = preprocess_gaussians(
+        state.params.xyz,
+        scales,
+        state.get_rotation(),
+        opacity,
+        state.get_features(),
+        sh_degree=state.max_sh_degree,
+        camera=camera,
+        kernel_size=kernel_size,
+        active_sh_degree=state.active_sh_degree,
+        compute_invraycov=True,
+    )
+    prep = prep.replace(valid=prep.valid & state.active)
+    if instance_budget is None:
+        instance_budget = default_instance_budget(state.capacity)
+    return integrate_op(
+        points3d, prep, camera, bg,
+        max_per_tile=max_per_tile, instance_budget=instance_budget,
+    )

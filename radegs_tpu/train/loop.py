@@ -220,14 +220,22 @@ def train(
     seed: int = 0,
     log_every: int = 50,
     callbacks=(),
+    resume_state: "TrainState | None" = None,
 ):
-    """Host training loop reproducing train.py:91-214's schedule."""
+    """Host training loop reproducing train.py:91-214's schedule.
+
+    ``resume_state``: a restored TrainState (utils.checkpoint) — training
+    continues from its iteration counter (train.py:67-69 --start_checkpoint).
+    """
     import numpy as np
 
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)
     H, W = scene.cameras[0][0].height, scene.cameras[0][0].width
-    ts = init_train_state(gaussians, sub, H, W, mcfg.use_decoupled_appearance)
+    if resume_state is not None:
+        ts = resume_state
+    else:
+        ts = init_train_state(gaussians, sub, H, W, mcfg.use_decoupled_appearance)
     bg = jnp.ones(3) if mcfg.white_background else jnp.zeros(3)
     if mcfg.disable_filter3D:
         ts = ts.replace(gaussians=gm.reset_3d_filter(ts.gaussians))
@@ -239,7 +247,8 @@ def train(
     rng = np.random.default_rng(seed)
     stack = []
     history = []
-    for it in range(1, ocfg.iterations + 1):
+    start_it = int(ts.iteration)
+    for it in range(start_it + 1, ocfg.iterations + 1):
         if it % 1000 == 0:
             ts = ts.replace(gaussians=gm.oneup_sh_degree(ts.gaussians))
         if not stack:

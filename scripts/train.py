@@ -37,6 +37,8 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     p.add_argument("--start_checkpoint", type=str, default=None)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--ip", type=str, default=None, help="network-GUI host (SIBR viewer)")
+    p.add_argument("--port", type=int, default=6009)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--synthetic", action="store_true",
@@ -167,9 +169,39 @@ def main(argv=None):
             save_checkpoint(os.path.join(mcfg.model_path, f"chkpnt{it}"), ts, it)
             print(f"[ITER {it}] saved checkpoint", flush=True)
 
+    resume_state = None
+    if args.start_checkpoint:
+        from radegs_tpu.train.loop import init_train_state
+        from radegs_tpu.utils.checkpoint import load_checkpoint
+
+        template = init_train_state(gaussians, jax.random.PRNGKey(args.seed),
+                                    cameras[0][0].height, cameras[0][0].width,
+                                    mcfg.use_decoupled_appearance)
+        resume_state, start_it = load_checkpoint(args.start_checkpoint, template)
+        print(f"resumed from {args.start_checkpoint} at iteration {start_it}")
+
+    callbacks = [on_log, on_schedule]
+    if args.ip:
+        from radegs_tpu.viewer.network_gui import NetworkGUI
+
+        gui = NetworkGUI(args.ip, args.port)
+
+        def on_gui(it, ts, metrics):
+            def render_view(cam, scale_mod):
+                out = render_fn(ts.gaussians, cam, bg, kernel_size=mcfg.kernel_size,
+                                scaling_modifier=scale_mod,
+                                max_per_tile=pcfg.max_per_tile)
+                return np.asarray(out["render"])
+
+            gui.poll(render_view, mcfg.source_path or mcfg.model_path,
+                     it >= ocfg.iterations)
+
+        callbacks.append(on_gui)
+
     ts, history = train(
         scene, gaussians, mcfg, ocfg, pcfg, seed=args.seed,
-        log_every=args.log_every, callbacks=(on_log, on_schedule),
+        log_every=args.log_every, callbacks=tuple(callbacks),
+        resume_state=resume_state,
     )
 
     # final snapshot
