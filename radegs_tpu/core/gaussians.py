@@ -97,6 +97,93 @@ def sym6_to_cov3d(sym6):
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def quat_to_rotmat_comps(q):
+    """Quaternion (w,x,y,z), NOT normalized -> 9 rotation components, each
+    (...,): (r00,r01,r02, r10,r11,r12, r20,r21,r22).
+
+    Component form keeps every per-Gaussian intermediate a flat (P,) vector:
+    on TPU a (P,3,3) tensor is lane-padded 3->128 (a 42x HBM blowup), so the
+    stacked-matrix form costs ~100ms/step in materialized fusions at P=131k.
+    """
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
+        2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x),
+        2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y),
+    )
+
+
+def covariance_sym6_comps(R9, s2):
+    """Sigma = R diag(s2) R^T as 6 components (xx,xy,xz,yy,yz,zz); R9 the
+    9-tuple from quat_to_rotmat_comps, s2 = (s0^2, s1^2, s2^2) tuple."""
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = R9
+    s0, s1, s2_ = s2
+
+    def rr(a, b, c, d, e, f):
+        return a * d * s0 + b * e * s1 + c * f * s2_
+
+    return (
+        rr(r00, r01, r02, r00, r01, r02),
+        rr(r00, r01, r02, r10, r11, r12),
+        rr(r00, r01, r02, r20, r21, r22),
+        rr(r10, r11, r12, r10, r11, r12),
+        rr(r10, r11, r12, r20, r21, r22),
+        rr(r20, r21, r22, r20, r21, r22),
+    )
+
+
+def sym6_quadform(u, v, c6):
+    """u^T C v with C the sym6 (xx,xy,xz,yy,yz,zz); u, v 3-tuples."""
+    xx, xy, xz, yy, yz, zz = c6
+    return (
+        u[0] * v[0] * xx + u[1] * v[1] * yy + u[2] * v[2] * zz
+        + (u[0] * v[1] + u[1] * v[0]) * xy
+        + (u[0] * v[2] + u[2] * v[0]) * xz
+        + (u[1] * v[2] + u[2] * v[1]) * yz
+    )
+
+
+def sym6_matvec(c6, v):
+    """C v with C the sym6; v a 3-tuple -> 3-tuple."""
+    xx, xy, xz, yy, yz, zz = c6
+    return (
+        xx * v[0] + xy * v[1] + xz * v[2],
+        xy * v[0] + yy * v[1] + yz * v[2],
+        xz * v[0] + yz * v[1] + zz * v[2],
+    )
+
+
+def sym6_rotate(Rg, c6):
+    """R C R^T for a GLOBAL 3x3 R (array) and per-P sym6 C -> sym6."""
+    rows = [(Rg[i, 0], Rg[i, 1], Rg[i, 2]) for i in range(3)]
+    return (
+        sym6_quadform(rows[0], rows[0], c6),
+        sym6_quadform(rows[0], rows[1], c6),
+        sym6_quadform(rows[0], rows[2], c6),
+        sym6_quadform(rows[1], rows[1], c6),
+        sym6_quadform(rows[1], rows[2], c6),
+        sym6_quadform(rows[2], rows[2], c6),
+    )
+
+
+def sym6_inverse(c6, eps=0.0):
+    """Adjugate inverse of sym6 -> sym6 (optionally Tikhonov-regularized)."""
+    xx, xy, xz, yy, yz, zz = c6
+    if eps:
+        xx, yy, zz = xx + eps, yy + eps, zz + eps
+    cof_xx = yy * zz - yz * yz
+    cof_xy = xz * yz - xy * zz
+    cof_xz = xy * yz - xz * yy
+    cof_yy = xx * zz - xz * xz
+    cof_yz = xy * xz - xx * yz
+    cof_zz = xx * yy - xy * xy
+    det = xx * cof_xx + xy * cof_xy + xz * cof_xz
+    inv = 1.0 / jnp.where(det == 0, 1.0, det)
+    inv = jnp.where(det == 0, 0.0, inv)
+    return (cof_xx * inv, cof_xy * inv, cof_xz * inv,
+            cof_yy * inv, cof_yz * inv, cof_zz * inv)
+
+
 # ---- Mip-Splatting 3D filter (scene/gaussian_model.py:117-166) --------------
 
 

@@ -35,7 +35,14 @@ import jax.numpy as jnp
 from flax import struct
 
 from radegs_tpu.core.eigen import sym3x3_eigendecomposition, sym3x3_inverse
-from radegs_tpu.core.gaussians import quat_to_rotmat_raw
+from radegs_tpu.core.gaussians import (
+    covariance_sym6_comps,
+    quat_to_rotmat_comps,
+    sym6_inverse,
+    sym6_matvec,
+    sym6_quadform,
+    sym6_rotate,
+)
 from radegs_tpu.core.sh import eval_sh_color
 
 NEAR_PLANE = 0.2  # auxiliary.h:21
@@ -130,28 +137,41 @@ def preprocess_gaussians(
     p_proj = p_hom[:, :3] * p_w[:, None]
     xy = jnp.stack([ndc2pix(p_proj[:, 0], W_img), ndc2pix(p_proj[:, 1], H_img)], axis=-1)
 
-    # --- world covariance & its inverse ---
+    # --- world covariance & its inverse (component/sym6 form: a (P,3,3)
+    # tensor is lane-padded 3->128 on TPU, see quat_to_rotmat_comps) ---
     if cov3d_precomp is not None:
-        cov3d = cov3d_precomp.astype(f32)
-        eigval, eigvec, _ = sym3x3_eigendecomposition(cov3d)
+        cov3d_m = cov3d_precomp.astype(f32)
+        eigval, eigvec, _ = sym3x3_eigendecomposition(cov3d_m)
         min_eig = eigval[:, 0]
-        min_vec = eigvec[:, :, 0]
-        vrk_inv_full = sym3x3_inverse(cov3d)
+        min_vec = (eigvec[:, 0, 0], eigvec[:, 1, 0], eigvec[:, 2, 0])
+        vi = sym3x3_inverse(cov3d_m)
+        vrk_inv_full = (vi[:, 0, 0], vi[:, 0, 1], vi[:, 0, 2],
+                        vi[:, 1, 1], vi[:, 1, 2], vi[:, 2, 2])
+        cov3d6 = (cov3d_m[:, 0, 0], cov3d_m[:, 0, 1], cov3d_m[:, 0, 2],
+                  cov3d_m[:, 1, 1], cov3d_m[:, 1, 2], cov3d_m[:, 2, 2])
     else:
-        R = quat_to_rotmat_raw(rotations.astype(f32))
+        R9 = quat_to_rotmat_comps(rotations.astype(f32))
         s = scales.astype(f32) * scale_modifier
-        s2 = jnp.square(s)
-        cov3d = jnp.einsum("pij,pj,pkj->pik", R, s2, R)
-        min_eig = jnp.min(s2, axis=-1)
-        min_idx = jnp.argmin(s2, axis=-1)
-        min_vec = jnp.take_along_axis(R, min_idx[:, None, None], axis=2)[:, :, 0]
-        inv_s2 = 1.0 / jnp.maximum(s2, 1e-30)
-        vrk_inv_full = jnp.einsum("pij,pj,pkj->pik", R, inv_s2, R)
+        s2_arr = jnp.square(s)
+        s2 = (s2_arr[:, 0], s2_arr[:, 1], s2_arr[:, 2])
+        cov3d6 = covariance_sym6_comps(R9, s2)
+        min_eig = jnp.min(s2_arr, axis=-1)
+        # smallest principal axis = R column at argmin(s^2) (forward.cu:151)
+        m0 = (s2[0] <= s2[1]) & (s2[0] <= s2[2])
+        m1 = ~m0 & (s2[1] <= s2[2])
+        min_vec = tuple(
+            jnp.where(m0, R9[3 * r + 0], jnp.where(m1, R9[3 * r + 1], R9[3 * r + 2]))
+            for r in range(3)
+        )
+        inv_s2 = tuple(1.0 / jnp.maximum(c, 1e-30) for c in s2)
+        vrk_inv_full = covariance_sym6_comps(R9, inv_s2)
 
     well = min_eig > EIG_EPS  # forward.cu:142
     # ill-conditioned: project onto the smallest axis (forward.cu:151-155)
-    vrk_inv_degen = min_vec[:, :, None] * min_vec[:, None, :]
-    vrk_inv = jnp.where(well[:, None, None], vrk_inv_full, vrk_inv_degen)
+    vrk_inv = tuple(
+        jnp.where(well, f, min_vec[i] * min_vec[j])
+        for f, (i, j) in zip(vrk_inv_full, ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)))
+    )
 
     # --- EWA cov2D with cone clamp (forward.cu:85-124) ---
     limx, limy = 1.3 * tanfovx, 1.3 * tanfovy
@@ -161,17 +181,14 @@ def preprocess_gaussians(
 
     inv_z = 1.0 / z
     inv_z2 = inv_z * inv_z
-    # J rows for (x_img, y_img); M = J @ Rw2c (2x3)
-    J = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, jnp.zeros_like(z), -fx * tx * inv_z2], axis=-1),
-            jnp.stack([jnp.zeros_like(z), fy * inv_z, -fy * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )  # (P,2,3)
-    M = jnp.einsum("pij,jk->pik", J, Rw2c)
-    cov2d = jnp.einsum("pij,pjk,plk->pil", M, cov3d, M)  # (P,2,2)
-    a0, b0, c0 = cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
+    # J rows for (x_img, y_img); M = J @ Rw2c as two component 3-tuples
+    j00, j02 = fx * inv_z, -fx * tx * inv_z2
+    j11, j12 = fy * inv_z, -fy * ty * inv_z2
+    m_row0 = tuple(j00 * Rw2c[0, k] + j02 * Rw2c[2, k] for k in range(3))
+    m_row1 = tuple(j11 * Rw2c[1, k] + j12 * Rw2c[2, k] for k in range(3))
+    a0 = sym6_quadform(m_row0, m_row0, cov3d6)
+    b0 = sym6_quadform(m_row0, m_row1, cov3d6)
+    c0 = sym6_quadform(m_row1, m_row1, cov3d6)
     det0 = jnp.maximum(1e-6, a0 * c0 - b0 * b0)
     a1, c1 = a0 + kernel_size, c0 + kernel_size
     det1m = jnp.maximum(1e-6, a1 * c1 - b0 * b0)
@@ -191,17 +208,21 @@ def preprocess_gaussians(
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
 
     # --- ray-space planes & normal (forward.cu:135-262) ---
-    cov_cam_inv = jnp.einsum("ij,pjk,lk->pil", Rw2c, vrk_inv, Rw2c)
-    uvh = jnp.stack([u, v, jnp.ones_like(u)], axis=-1)
-    uvh_m = jnp.einsum("pij,pj->pi", cov_cam_inv, uvh)
-    uvh_mn, mn_norm = _safe_normalize(uvh_m)
-    plane_ok = (mn_norm[:, 0] > 1e-20) & jnp.isfinite(mn_norm[:, 0])
+    cam_inv6 = sym6_rotate(jnp.asarray(Rw2c), vrk_inv)
+    uvh = (u, v, jnp.ones_like(u))
+    m = sym6_matvec(cam_inv6, uvh)
+    mn2 = m[0] * m[0] + m[1] * m[1] + m[2] * m[2]
+    mn_norm = jnp.sqrt(mn2)
+    inv_mn = jax_rsqrt(jnp.maximum(mn2, 1e-30))
+    uvh_mn = tuple(c * inv_mn for c in m)
+    plane_ok = (mn_norm > 1e-20) & jnp.isfinite(mn_norm)
 
-    vbn = jnp.sum(uvh_mn * uvh, axis=-1)
-    mvec = uvh_mn / jnp.maximum(vbn, 1e-7)[:, None]
+    vbn = uvh_mn[0] * uvh[0] + uvh_mn[1] * uvh[1] + uvh_mn[2] * uvh[2]
+    inv_vbn = 1.0 / jnp.maximum(vbn, 1e-7)
+    mvec = tuple(c * inv_vbn for c in uvh_mn)
     u2, v2_, uv = u * u, v * v, u * v
-    plane0 = (v2_ + 1.0) * mvec[:, 0] - uv * mvec[:, 1] - u * mvec[:, 2]
-    plane1 = -uv * mvec[:, 0] + (u2 + 1.0) * mvec[:, 1] - v * mvec[:, 2]
+    plane0 = (v2_ + 1.0) * mvec[0] - uv * mvec[1] - u * mvec[2]
+    plane1 = -uv * mvec[0] + (u2 + 1.0) * mvec[1] - v * mvec[2]
 
     nl = u2 + v2_ + 1.0
     l_clamped = jnp.sqrt(tx * tx + ty * ty + z * z)
@@ -274,20 +295,30 @@ def preprocess_gaussians(
     # and we use an eigenvalue-clamped inverse for that (dead) branch instead.
     invraycov = None
     if compute_invraycov:
-        jr = jnp.stack(
-            [
-                jnp.stack([fx * inv_z, jnp.zeros_like(z), -fx * tx * inv_z2], -1),
-                jnp.stack([jnp.zeros_like(z), fy * inv_z, -fy * ty * inv_z2], -1),
-                jnp.stack(
-                    [tx / l_clamped, ty / l_clamped, z / l_clamped], -1
-                ),
-            ],
+        zero = jnp.zeros_like(z)
+        jr0 = (j00, zero, j02)
+        jr1 = (zero, j11, j12)
+        jr2 = (tx / l_clamped, ty / l_clamped, z / l_clamped)
+        v_view6 = sym6_rotate(jnp.asarray(Rw2c), cov3d6)
+        # rows of J V: (J V J^T)_ij = jr_i . V jr_j
+        ray6 = (
+            sym6_quadform(jr0, jr0, v_view6),
+            sym6_quadform(jr0, jr1, v_view6),
+            sym6_quadform(jr0, jr2, v_view6),
+            sym6_quadform(jr1, jr1, v_view6),
+            sym6_quadform(jr1, jr2, v_view6),
+            sym6_quadform(jr2, jr2, v_view6),
+        )
+        reg = jnp.where(well, 0.0, 1e-6)
+        inv6 = sym6_inverse(tuple(
+            c + (reg if k in (0, 3, 5) else 0.0) for k, c in enumerate(ray6)
+        ))
+        ixx, ixy, ixz, iyy, iyz, izz = inv6
+        invraycov = jnp.stack(
+            [jnp.stack([ixx, ixy, ixz], -1), jnp.stack([ixy, iyy, iyz], -1),
+             jnp.stack([ixz, iyz, izz], -1)],
             axis=-2,
-        )  # (P,3,3)
-        v_view = jnp.einsum("ij,pjk,lk->pil", Rw2c, cov3d, Rw2c)
-        cov_ray = jnp.einsum("pij,pjk,plk->pil", jr, v_view, jr)
-        reg = jnp.where(well, 0.0, 1e-6)[:, None, None] * jnp.eye(3)
-        invraycov = sym3x3_inverse(cov_ray + reg)
+        )
 
     valid = in_front & nonsingular & (radius > 0)
     radius = jnp.where(valid, radius, 0.0)

@@ -112,18 +112,31 @@ def bin_gaussians(
     # runs were laid out in gaussian-index order, so gather the i-th alive id.
     alive_ids = jnp.nonzero(alive, size=P, fill_value=P - 1)[0].astype(jnp.int32)
     slot_valid = jnp.arange(B) < jnp.minimum(total, B)
-    gid = jnp.where(slot_valid, alive_ids[jnp.clip(owner, 0, P - 1)], -1)
+
+    # ONE packed row gather: B-sized scalar gathers from in-graph sources hit
+    # a ~20ms slow path each on TPU, a single (P,6) row gather is ~2ms.
+    packed = jnp.stack(
+        [alive_ids, offsets[alive_ids], jnp.maximum(w[alive_ids], 1),
+         rx_min[alive_ids], ry_min[alive_ids], rank[alive_ids]],
+        axis=1,
+    )  # (P, 6), rows in alive-rank order
+    slot = packed[jnp.clip(owner, 0, P - 1)]  # (B, 6)
+    gid = jnp.where(slot_valid, slot[:, 0], -1)
 
     # slot offset within the gaussian's rect -> tile coordinates
-    g_safe = jnp.clip(gid, 0, P - 1)
-    within = jnp.arange(B, dtype=jnp.int32) - offsets[g_safe]
-    w_safe = jnp.maximum(w[g_safe], 1)
-    ty = ry_min[g_safe] + within // w_safe
-    tx = rx_min[g_safe] + within % w_safe
+    within = jnp.arange(B, dtype=jnp.int32) - slot[:, 1]
+    w_safe = slot[:, 2]
+    # integer div/mod with a variable divisor has no TPU hardware path
+    # (~20ms/step at B=2^20); exact float division instead: the +0.5 keeps
+    # (within+0.5)/w strictly inside (q, q+1) for w <= 2^15, within < 2^23
+    q = jnp.floor((within.astype(jnp.float32) + 0.5) / w_safe.astype(jnp.float32))
+    q = q.astype(jnp.int32)
+    ty = slot[:, 4] + q
+    tx = slot[:, 3] + within - q * w_safe
     tid = jnp.where(slot_valid, ty * tiles_x + tx, num_tiles)
 
     # --- sort by (tile, depth-rank) --- (radix sort, rasterizer_impl.cu:376-381)
-    sort_rank = jnp.where(slot_valid, rank[g_safe], P)
+    sort_rank = jnp.where(slot_valid, slot[:, 5], P)
     tid_s, _, gid_s = jax.lax.sort((tid, sort_rank, gid), num_keys=2)
 
     # --- per-tile ranges --- (identifyTileRanges, rasterizer_impl.cu:151-173)
@@ -136,15 +149,22 @@ def bin_gaussians(
     tile_overflow = jnp.sum(tile_count_full - tile_count)
     max_tile_count = jnp.max(tile_count_full)
 
-    # --- rectangular [T, K] gather ---
+    # --- rectangular [T, K] gather --- one lax.gather of contiguous
+    # K-slices (a vmapped dynamic_slice lowers to a while loop; an
+    # element-wise 2D gather takes the ~7ns/element slow path)
     K = max_per_tile
     gid_pad = jnp.concatenate([gid_s, jnp.full((K,), -1, jnp.int32)])
-
-    def take_tile(start, count):
-        seg = jax.lax.dynamic_slice(gid_pad, (start,), (K,))
-        return jnp.where(jnp.arange(K) < count, seg, -1)
-
-    tile_gauss = jax.vmap(take_tile)(tile_start, tile_count)
+    seg = jax.lax.gather(
+        gid_pad,
+        tile_start[:, None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+        ),
+        slice_sizes=(K,),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (T, K)
+    cols = jnp.arange(K, dtype=jnp.int32)
+    tile_gauss = jnp.where(cols[None, :] < tile_count[:, None], seg, -1)
 
     return TileBinning(
         gauss_id=gid_s,

@@ -210,11 +210,13 @@ def _fwd_kernel(
         acc["m2"] = jnp.where(has, pick(cz), acc["m2"])
         acc["med_pos"] = jnp.where(has, chunk_med, acc["med_pos"])
 
-        # reduce_prod / reduce_or are not lowered on TPU Pallas: take the
-        # last row of a masked cumprod, and a max-reduce for "any"
-        cum_inc = _cumprod0(jnp.where(include, one_minus, 1.0), CH)
-        acc["t_cur"] = acc["t_cur"] * cum_inc[CH - 1 : CH]
-        any_term = jnp.max(terminate.astype(jnp.float32), axis=0, keepdims=True)
+        # T update without a second masked cumprod: the first terminator's
+        # t_prefix (which excludes it and everything after) IS the new T
+        t_term = jnp.max(jnp.where(terminate, t_prefix, 0.0), axis=0, keepdims=True)
+        any_term = jnp.max(jnp.where(terminate, 1.0, 0.0), axis=0, keepdims=True)
+        t_open = acc["t_cur"] * cum[CH - 1 : CH]
+        t_new = jnp.where(any_term > 0.5, t_term, t_open)
+        acc["t_cur"] = jnp.where(acc["done"] > 0.5, acc["t_cur"], t_new)
         acc["done"] = jnp.maximum(acc["done"], any_term)
         return acc
 
@@ -246,9 +248,11 @@ def aligned_instance_layout(binning: TileBinning, num_tiles: int, chunk: int):
     astart = (jnp.cumsum(padded) - padded).astype(jnp.int32)
 
     tid = jnp.clip(binning.tile_id, 0, T - 1)
-    r = jnp.arange(B, dtype=jnp.int32) - binning.tile_start[tid]
-    ok = (binning.tile_id < T) & (r >= 0) & (r < binning.tile_count[tid])
-    dest = jnp.where(ok, astart[tid] + r, B_pad)
+    # one packed row gather (B-sized scalar gathers are ~20ms each on TPU)
+    pk = jnp.stack([binning.tile_start, binning.tile_count, astart], axis=1)[tid]
+    r = jnp.arange(B, dtype=jnp.int32) - pk[:, 0]
+    ok = (binning.tile_id < T) & (r >= 0) & (r < pk[:, 1])
+    dest = jnp.where(ok, pk[:, 2] + r, B_pad)
     gid_aligned = (
         jnp.full((B_pad + 1,), -1, jnp.int32).at[dest].set(binning.gauss_id)[:B_pad]
     )
@@ -394,13 +398,13 @@ def _bwd_kernel(
 
     f32 = jnp.float32
     zrow = lambda: jnp.zeros((1, px), f32)
-    init = dict(
-        t_cur=jnp.ones((1, px), f32), done=zrow(),
-        pre_c0=zrow(), pre_c1=zrow(), pre_c2=zrow(),
-        pre_w=zrow(), pre_d=zrow(),
-        pre_x0=zrow(), pre_x1=zrow(), pre_x2=zrow(),
-        pre_n0=zrow(), pre_n1=zrow(), pre_n2=zrow(),
-    )
+    # the cotangents are constant per pixel across contributors, so the 11
+    # per-channel prefix sums collapse to ONE prefix of w_i * dL/dw_i:
+    #   sum_ch cot_ch * prefix_i(w x_ch) = prefix_i(w_i * sum_ch cot_ch x_ch,i)
+    s_tot = gw * tw + gd * td
+    for k in range(3):
+        s_tot = s_tot + gc[k] * tc[k] + gn[k] * tn[k] + gx[k] * txx[k]
+    init = dict(t_cur=jnp.ones((1, px), f32), done=zrow(), pre_dot=zrow())
 
     def body(ci, acc):
         slot = jax.lax.rem(ci, 2)
@@ -443,20 +447,11 @@ def _bwd_kernel(
             col(14) + col(17) * dx + col(20) * dy,
         ]
 
-        # inclusive prefixes (carried + in-chunk cumsum)
-        pc = [acc[f"pre_c{k}"] + _cumsum0(w * rgb_c[k], CH) for k in range(3)]
-        pn = [acc[f"pre_n{k}"] + _cumsum0(w * n_c[k], CH) for k in range(3)]
-        pxs = [acc[f"pre_x{k}"] + _cumsum0(w * coord[k], CH) for k in range(3)]
-        pw = acc["pre_w"] + _cumsum0(w, CH)
-        pd = acc["pre_d"] + _cumsum0(w * t_ray, CH)
-
         dL_dw = gw + gd * t_ray
-        suffix = gw * (tw - pw) + gd * (td - pd) + gtf * tf
         for k in range(3):
             dL_dw += gc[k] * rgb_c[k] + gn[k] * n_c[k] + gx[k] * coord[k]
-            suffix += gc[k] * (tc[k] - pc[k]) + gn[k] * (tn[k] - pn[k]) + gx[k] * (
-                txx[k] - pxs[k]
-            )
+        pdot = acc["pre_dot"] + _cumsum0(w * dL_dw, CH)  # (CH, px)
+        suffix = (s_tot - pdot) + gtf * tf
         dL_dalpha = jnp.where(include, t_prefix * dL_dw - suffix / one_minus, 0.0)
 
         # median routing (backward.cu:909-936)
@@ -513,19 +508,15 @@ def _bwd_kernel(
         obuf[oslot] = gmat.T  # (32, CH)
         odma(oslot, ci).start()
 
-        # carries
-        acc["t_cur"] = acc["t_cur"] * _cumprod0(
-            jnp.where(include, one_minus, 1.0), CH
-        )[CH - 1 : CH]
-        acc["done"] = jnp.maximum(
-            acc["done"], jnp.max(jnp.where(terminate, 1.0, 0.0), axis=0, keepdims=True)
-        )
-        for k in range(3):
-            acc[f"pre_c{k}"] = pc[k][CH - 1 : CH]
-            acc[f"pre_n{k}"] = pn[k][CH - 1 : CH]
-            acc[f"pre_x{k}"] = pxs[k][CH - 1 : CH]
-        acc["pre_w"] = pw[CH - 1 : CH]
-        acc["pre_d"] = pd[CH - 1 : CH]
+        # carries: the first terminator's t_prefix IS the new T (it excludes
+        # itself and everything after), so no second masked cumprod is needed
+        t_term = jnp.max(jnp.where(terminate, t_prefix, 0.0), axis=0, keepdims=True)
+        any_term = jnp.max(jnp.where(terminate, 1.0, 0.0), axis=0, keepdims=True)
+        t_open = acc["t_cur"] * cum[CH - 1 : CH]
+        t_new = jnp.where(any_term > 0.5, t_term, t_open)
+        acc["t_cur"] = jnp.where(acc["done"] > 0.5, acc["t_cur"], t_new)
+        acc["done"] = jnp.maximum(acc["done"], any_term)
+        acc["pre_dot"] = pdot[CH - 1 : CH]
         return acc
 
     jax.lax.fori_loop(0, n_chunks, body, init)
@@ -616,11 +607,15 @@ def blend_backward_pallas(
         interpret=interpret,
     )(astart, binning.tile_count, feat_sorted, aux)
 
-    # deterministic segment reduction: instance -> gaussian
+    # deterministic segment reduction: instance -> gaussian. Row-oriented:
+    # a lane-axis scatter-add (25, B)->(25, P) takes a ~27ms slow path; the
+    # row scatter-add (B, 25)->(P, 25) is ~3ms.
     gid_safe = jnp.where(gid_aligned >= 0, gid_aligned, P)
-    acc = jnp.zeros((N_GRAD, P + 1), jnp.float32).at[:, gid_safe].add(
-        grad_inst[:N_GRAD]
-    )[:, :P]
+    acc = (
+        jnp.zeros((P + 1, N_GRAD), jnp.float32)
+        .at[gid_safe].add(grad_inst[:N_GRAD].T)[:P]
+        .T
+    )
 
     return dict(
         xy=acc[0:2].T,

@@ -65,6 +65,17 @@ def render(
     return out
 
 
+def mark_visible(state: GaussianState, camera):
+    """Frustum visibility mask (the reference's markVisible utility,
+    rasterizer_impl.cu:176-188 / diff_gaussian_rasterization __init__.py:
+    193-202): view-space z > NEAR_PLANE."""
+    from radegs_tpu.core.projection import NEAR_PLANE
+
+    viewmat = camera.world_view
+    p_view = state.params.xyz @ viewmat[:3, :3].T + viewmat[:3, 3]
+    return (p_view[:, 2] > NEAR_PLANE) & state.active
+
+
 def integrate(
     points3d,
     state: GaussianState,

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Weak-scaling benchmark over a device mesh (BASELINE.md: >= 0.8 efficiency
+from 1 to N devices).
+
+Shards the Gaussian/parameter axis over the mesh's `g` axis and scales the
+problem (capacity) proportionally to the device count, so per-device work is
+constant; efficiency = t(1) / t(N).
+
+On real multi-chip hardware run as-is; without it, set
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu
+to validate the sharding path (CPU numbers do not reflect ICI bandwidth).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def run_one(n_devices, base_gaussians, width, height, iters, warmup):
+    import jax
+    import jax.numpy as jnp
+
+    from radegs_tpu.core.camera import Camera
+    from radegs_tpu.models import gaussian_model as gm
+    from radegs_tpu.parallel.sharding import make_mesh, shard_camera, shard_train_state
+    from radegs_tpu.train.config import ModelConfig, OptimizationConfig, PipelineConfig
+    from radegs_tpu.train.loop import init_train_state, make_train_step
+
+    devices = jax.devices()[:n_devices]
+    mesh = make_mesh(devices)
+
+    P = base_gaussians * n_devices
+    capacity = gm.round_capacity(P)
+    rng = np.random.default_rng(0)
+    pts = (rng.normal(size=(P, 3)) * 1.2).astype(np.float32)
+    cols = rng.uniform(0.1, 0.9, size=(P, 3)).astype(np.float32)
+    state = gm.create_from_points(pts, cols, capacity=capacity)
+    state = state.replace(
+        params=state.params.replace(scaling=state.params.scaling + np.log(0.22))
+    )
+    cam = Camera.look_at([0, 0.8, -5.0], [0, 0, 0], [0, 1, 0], 0.9, 0.7, width, height)
+    state = gm.update_3d_filter(state, [cam])
+    gt = jnp.clip(jnp.asarray(rng.uniform(size=(3, height, width)), jnp.float32), 0, 1)
+
+    ts = init_train_state(state, jax.random.PRNGKey(0))
+    ts = shard_train_state(ts, mesh)
+    cam = shard_camera(cam, mesh)
+    bg = jnp.zeros(3)
+    step = make_train_step(
+        ModelConfig(kernel_size=0.1), OptimizationConfig(regularization_from_iter=0),
+        PipelineConfig(max_per_tile=512), spatial_lr_scale=5.0,
+    )
+    with mesh:
+        for _ in range(warmup):
+            ts, m = step(ts, cam, gt, bg, 0, width, height)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ts, m = step(ts, cam, gt, bg, 0, width, height)
+        float(m["loss"])
+    return (time.perf_counter() - t0) / iters
+
+
+def main(argv=None):
+    import jax
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--base_gaussians", type=int, default=50_000)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=608)
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--devices", type=int, nargs="+", default=None)
+    args = p.parse_args(argv)
+
+    n_avail = len(jax.devices())
+    counts = args.devices or [n for n in (1, 2, 4, 8, 16) if n <= n_avail]
+    results = {}
+    t1 = None
+    for n in counts:
+        dt = run_one(n, args.base_gaussians, args.width, args.height,
+                     args.iters, args.warmup)
+        if t1 is None:
+            t1 = dt
+        eff = t1 / dt
+        results[n] = {"ms_per_iter": dt * 1000, "weak_scaling_efficiency": eff}
+        print(f"devices={n:2d}  {dt * 1000:8.1f} ms/iter  "
+              f"gaussians={args.base_gaussians * n:8d}  efficiency={eff:.3f}",
+              flush=True)
+    print(json.dumps({"weak_scaling": results}))
+
+
+if __name__ == "__main__":
+    main()
