@@ -78,6 +78,15 @@ def read_cameras_binary(path):
 
 
 def read_images_binary(path):
+    native = _try_native()
+    if native is not None:
+        out = _read_images_native(native, path)
+        if out is not None:
+            return out
+    return _read_images_binary_py(path)
+
+
+def _read_images_binary_py(path):
     images = {}
     with open(path, "rb") as f:
         (num,) = _read(f, 8, "Q")
@@ -99,6 +108,15 @@ def read_images_binary(path):
 
 
 def read_points3d_binary(path):
+    native = _try_native()
+    if native is not None:
+        out = _read_points3d_native(native, path)
+        if out is not None:
+            return out
+    return _read_points3d_binary_py(path)
+
+
+def _read_points3d_binary_py(path):
     with open(path, "rb") as f:
         (num,) = _read(f, 8, "Q")
         xyz = np.empty((num, 3))
@@ -112,6 +130,70 @@ def read_points3d_binary(path):
             (track_len,) = _read(f, 8, "Q")
             f.seek(8 * track_len, os.SEEK_CUR)
     return xyz, rgb, err
+
+
+def _try_native():
+    """The C++ mmap parsers (native/colmap_native.cpp) — the per-record
+    Python struct loop takes minutes on multi-million-point scenes."""
+    try:
+        from radegs_tpu.native import load_native
+
+        return load_native()
+    except Exception:
+        return None
+
+
+def _read_points3d_native(lib, path):
+    import ctypes
+
+    n = lib.radegs_points3d_count(path.encode())
+    if n < 0:
+        return None
+    xyz = np.empty((n, 3), np.float64)
+    rgb = np.empty((n, 3), np.uint8)
+    err = np.empty((n,), np.float64)
+    ids = np.empty((n,), np.int64)
+    r = lib.radegs_points3d_fill(
+        path.encode(),
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        err.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+    )
+    if r != n:
+        return None
+    return xyz, rgb, err
+
+
+def _read_images_native(lib, path, max_name=256):
+    import ctypes
+
+    n = lib.radegs_images_count(path.encode())
+    if n < 0:
+        return None
+    ids = np.empty((n,), np.int32)
+    qvec = np.empty((n, 4), np.float64)
+    tvec = np.empty((n, 3), np.float64)
+    cam_ids = np.empty((n,), np.int32)
+    names = ctypes.create_string_buffer(n * max_name)
+    r = lib.radegs_images_fill(
+        path.encode(),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        qvec.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        tvec.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cam_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        names, max_name, n,
+    )
+    if r != n:
+        return None
+    images = {}
+    for i in range(n):
+        name = names.raw[i * max_name : (i + 1) * max_name].split(b"\x00")[0].decode()
+        images[int(ids[i])] = ColmapImage(
+            int(ids[i]), qvec[i].copy(), tvec[i].copy(), int(cam_ids[i]), name
+        )
+    return images
 
 
 def read_cameras_text(path):

@@ -119,3 +119,33 @@ def test_blender_reader(tmp_path):
     cam, gt, _ = scene.getTrainCameras()[0]
     assert gt.shape == (3, 32, 40)
     assert cam.width == 40
+
+
+def test_native_parser_matches_python(colmap_scene):
+    from radegs_tpu.data.colmap import (
+        _read_images_binary_py,
+        _read_images_native,
+        _read_points3d_binary_py,
+        _read_points3d_native,
+        _try_native,
+    )
+
+    lib = _try_native()
+    assert lib is not None, "C++ toolchain present in this image; native must build"
+    root, _, _ = colmap_scene
+    sparse = os.path.join(root, "sparse", "0")
+
+    xyz_n, rgb_n, err_n = _read_points3d_native(lib, os.path.join(sparse, "points3D.bin"))
+    xyz_p, rgb_p, err_p = _read_points3d_binary_py(os.path.join(sparse, "points3D.bin"))
+    np.testing.assert_array_equal(xyz_n, xyz_p)
+    np.testing.assert_array_equal(rgb_n, rgb_p)
+    np.testing.assert_array_equal(err_n, err_p)
+
+    im_n = _read_images_native(lib, os.path.join(sparse, "images.bin"))
+    im_p = _read_images_binary_py(os.path.join(sparse, "images.bin"))
+    assert set(im_n) == set(im_p)
+    for k in im_p:
+        np.testing.assert_allclose(im_n[k].qvec, im_p[k].qvec)
+        np.testing.assert_allclose(im_n[k].tvec, im_p[k].tvec)
+        assert im_n[k].name == im_p[k].name
+        assert im_n[k].camera_id == im_p[k].camera_id
