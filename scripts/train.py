@@ -129,6 +129,15 @@ def main(argv=None):
     scene = SceneLike(cameras=cameras, extent=extent)
     bg = jnp.ones(3) if mcfg.white_background else jnp.zeros(3)
 
+    # TensorBoard, optional like the reference (train.py:26-30, 238-278)
+    tb = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(mcfg.model_path)
+    except Exception:
+        print("Tensorboard not available: not logging progress")
+
     t_start = time.time()
     last = {"t": t_start, "it": 0}
 
@@ -138,6 +147,14 @@ def main(argv=None):
         now = time.time()
         ips = (it - last["it"]) / max(now - last["t"], 1e-9)
         last["t"], last["it"] = now, it
+        if tb is not None:
+            tb.add_scalar("train_loss_patches/total_loss", metrics["loss"], it)
+            tb.add_scalar("train_loss_patches/l1_loss", metrics["l1"], it)
+            tb.add_scalar("train_loss_patches/depth_normal_loss",
+                          metrics["depth_normal_loss"], it)
+            tb.add_scalar("train/psnr", metrics["psnr"], it)
+            tb.add_scalar("total_points", metrics["n_active"], it)
+            tb.add_scalar("iters_per_s", ips, it)
         if not args.quiet:
             print(
                 f"[{it:6d}] loss {metrics['loss']:.5f}  l1 {metrics['l1']:.5f}  "
@@ -155,6 +172,8 @@ def main(argv=None):
                 vals.append(float(psnr(jnp.clip(out["render"], 0, 1), gt)))
             print(f"\n[ITER {it}] test PSNR {np.mean(vals):.3f} over {len(vals)} views\n",
                   flush=True)
+            if tb is not None:
+                tb.add_scalar("test/psnr", float(np.mean(vals)), it)
         if it in args.save_iterations:
             if scene_obj is not None:
                 scene_obj.save(ts.gaussians, it)
