@@ -132,34 +132,42 @@ def integrate_image(prep: PreprocessOut, binning: TileBinning, bg, n_projected,
         dc_g = jnp.take(prep.ts, idc, axis=0)
         rp_g = jnp.take(prep.ray_plane, idc, axis=0)
 
-        # sequential in-chunk walk (the per-sample skip gate is not a cumprod)
+        offx = jnp.asarray(OFFS_X)[:, None, None]  # (5,1,1)
+        offy = jnp.asarray(OFFS_Y)[:, None, None]
+        # sequential in-chunk walk over Gaussians (the per-sample skip gate is
+        # not a cumprod); the 5 sub-pixel corners are independent -> stacked
         for j in range(ids.shape[1]):
             xy_j = xy_g[:, j][:, None, :]  # (T,1,2)
             con_j = con_g[:, j][:, None, :]
             op_j = op_g[:, j][:, None]
-            for k in range(5):
-                alpha, passes, dx, dy = _alphas_at(
-                    xy_j, con_j, op_j, pixf_x + OFFS_X[k], pixf_y + OFFS_Y[k]
-                )
-                Tk = acc["Ts"][k]
-                new_Tk, ok = _corner_step(Tk, alpha, passes)
-                depth = dc_g[:, j][:, None] + rp_g[:, j, 0][:, None] * dx + rp_g[:, j, 1][:, None] * dy
-                acc["max_d"] = jnp.where(ok, jnp.maximum(acc["max_d"], depth), acc["max_d"])
-                if k == 0:
-                    w = jnp.where(ok, alpha * Tk, 0.0)
-                    acc["c0"] += w * rgb_g[:, j, 0][:, None]
-                    acc["c1"] += w * rgb_g[:, j, 1][:, None]
-                    acc["c2"] += w * rgb_g[:, j, 2][:, None]
-                    acc["alpha"] += w
-                    acc["exp_d"] += w * depth
-                    is_med = ok & (Tk > 0.5)
-                    acc["med_d"] = jnp.where(is_med, depth, acc["med_d"])
-                    acc["mid_dc"] = jnp.where(is_med, dc_g[:, j][:, None], acc["mid_dc"])
-                    acc["mid_p0"] = jnp.where(is_med, rp_g[:, j, 0][:, None], acc["mid_p0"])
-                    acc["mid_p1"] = jnp.where(is_med, rp_g[:, j, 1][:, None], acc["mid_p1"])
-                    acc["mid_x"] = jnp.where(is_med, xy_j[..., 0], acc["mid_x"])
-                    acc["mid_y"] = jnp.where(is_med, xy_j[..., 1], acc["mid_y"])
-                acc["Ts"] = acc["Ts"].at[k].set(new_Tk)
+            alpha, passes, dx, dy = _alphas_at(
+                xy_j[None], con_j[None], op_j[None],
+                pixf_x[None] + offx, pixf_y[None] + offy,
+            )  # all (5,T,px)
+            Ts = acc["Ts"]
+            new_Ts, ok = _corner_step(Ts, alpha, passes)
+            depth = (
+                dc_g[:, j][None, :, None]
+                + rp_g[:, j, 0][None, :, None] * dx
+                + rp_g[:, j, 1][None, :, None] * dy
+            )
+            acc["max_d"] = jnp.maximum(acc["max_d"], jnp.max(
+                jnp.where(ok, depth, -jnp.inf), axis=0))
+            ok0, Tk0, a0, d0 = ok[0], Ts[0], alpha[0], depth[0]
+            w = jnp.where(ok0, a0 * Tk0, 0.0)
+            acc["c0"] += w * rgb_g[:, j, 0][:, None]
+            acc["c1"] += w * rgb_g[:, j, 1][:, None]
+            acc["c2"] += w * rgb_g[:, j, 2][:, None]
+            acc["alpha"] += w
+            acc["exp_d"] += w * d0
+            is_med = ok0 & (Tk0 > 0.5)
+            acc["med_d"] = jnp.where(is_med, d0, acc["med_d"])
+            acc["mid_dc"] = jnp.where(is_med, dc_g[:, j][:, None], acc["mid_dc"])
+            acc["mid_p0"] = jnp.where(is_med, rp_g[:, j, 0][:, None], acc["mid_p0"])
+            acc["mid_p1"] = jnp.where(is_med, rp_g[:, j, 1][:, None], acc["mid_p1"])
+            acc["mid_x"] = jnp.where(is_med, xy_j[..., 0], acc["mid_x"])
+            acc["mid_y"] = jnp.where(is_med, xy_j[..., 1], acc["mid_y"])
+            acc["Ts"] = new_Ts
         return acc, None
 
     acc, _ = jax.lax.scan(body, init, ids_chunks)
@@ -238,16 +246,15 @@ def integrate_points(prep: PreprocessOut, binning: TileBinning, pts: PointProjec
             irc_g = jnp.take(prep.invraycov, idc, axis=0)  # (pc,c,3,3)
             cond_g = jnp.take(prep.well_conditioned, idc, axis=0)
 
+            offx = jnp.asarray(OFFS_X)[:, None]
+            offy = jnp.asarray(OFFS_Y)[:, None]
             for j in range(chunk):
-                used = jnp.zeros((pc,), bool)
-                for k in range(5):
-                    alpha, passes, _, _ = _alphas_at(
-                        xy_g[:, j], con_g[:, j], op_g[:, j],
-                        pixf[:, 0] + OFFS_X[k], pixf[:, 1] + OFFS_Y[k],
-                    )
-                    new_Tk, ok = _corner_step(Ts[k], alpha, passes)
-                    Ts = Ts.at[k].set(new_Tk)
-                    used = used | ok
+                alpha5, passes5, _, _ = _alphas_at(
+                    xy_g[None, :, j], con_g[None, :, j], op_g[None, :, j],
+                    pixf[None, :, 0] + offx, pixf[None, :, 1] + offy,
+                )  # (5, pc)
+                Ts, ok5 = _corner_step(Ts, alpha5, passes5)
+                used = jnp.any(ok5, axis=0)
                 # ray-space 3D opacity at the point (forward.cu:1300-1330)
                 dx = xy_g[:, j, 0] - xy[:, 0]
                 dy = xy_g[:, j, 1] - xy[:, 1]

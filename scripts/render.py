@@ -63,6 +63,8 @@ def main(argv=None):
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--skip_test", action="store_true")
     p.add_argument("--save_depth", action="store_true")
+    p.add_argument("--path_frames", type=int, default=0,
+                   help="also render an N-frame ellipse orbit (video frames)")
     args = get_combined_args(p, argv)
     mcfg = extract(ModelConfig, args)
     pcfg = extract(PipelineConfig, args)
@@ -85,6 +87,16 @@ def main(argv=None):
     if not args.skip_test and scene.getTestCameras():
         render_set(mcfg.model_path, "test", iteration, scene.getTestCameras(),
                    state, bg, mcfg, pcfg, render_fn, args.save_depth)
+    if args.path_frames > 0:
+        from radegs_tpu.utils.trajectories import ellipse_path, render_path
+
+        cams = [c for c, _, _ in scene.getTrainCameras()]
+        path = ellipse_path(cams, n_frames=args.path_frames)
+        out = render_path(state, path, bg,
+                          os.path.join(mcfg.model_path, f"video_{iteration}"),
+                          kernel_size=mcfg.kernel_size,
+                          max_per_tile=pcfg.max_per_tile, save_depth=args.save_depth)
+        print(f"wrote orbit frames to {out}")
 
 
 if __name__ == "__main__":
