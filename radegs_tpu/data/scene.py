@@ -85,9 +85,17 @@ class Scene:
                 )
 
     def _build(self, cam_infos, scale, resolution):
+        # PIL decode releases the GIL: parallel image loading (the reference
+        # loads serially, utils/camera_utils.py:20-61)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
+            list(ex.map(
+                lambda ci: ci.load_image(resolution_scale=scale, resolution=resolution),
+                cam_infos,
+            ))
         out = []
         for idx, ci in enumerate(cam_infos):
-            ci.load_image(resolution_scale=scale, resolution=resolution)
             cam = Camera.create(ci.R, ci.T, ci.fovx, ci.fovy, ci.width, ci.height)
             gt = jnp.asarray(ci.image.transpose(2, 0, 1))
             out.append((cam, gt, idx))
