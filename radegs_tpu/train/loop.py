@@ -22,7 +22,12 @@ from radegs_tpu.models import gaussian_model as gm
 from radegs_tpu.models.appearance import AppearanceNetwork, appearance_transform, init_appearance
 from radegs_tpu.ops.ssim import l1_loss, ssim
 from radegs_tpu.renderer import render
-from radegs_tpu.train.config import ModelConfig, OptimizationConfig, PipelineConfig
+from radegs_tpu.train.config import (
+    ModelConfig,
+    OptimizationConfig,
+    PipelineConfig,
+    replace as replace_cfg,
+)
 from radegs_tpu.train.optim import BETA1, BETA2, EPS, GroupLRs, adam_step, expon_lr
 
 
@@ -69,12 +74,17 @@ def compute_loss(
     view_idx=0,
 ):
     """Loss of train.py:124-162. Returns (loss, aux)."""
+    from radegs_tpu.ops.binning import default_instance_budget
+
     out = render(
         gaussians,
         camera,
         bg,
         kernel_size=mcfg.kernel_size,
         max_per_tile=pcfg.max_per_tile,
+        instance_budget=default_instance_budget(
+            gaussians.capacity, pcfg.instance_multiplier
+        ),
         xy_offset=xy_offset,
         xy_abs=xy_abs,
     )
@@ -248,6 +258,7 @@ def train(
     stack = []
     history = []
     start_it = int(ts.iteration)
+    overflow_check = max(log_every, 10)
     for it in range(start_it + 1, ocfg.iterations + 1):
         if it % 1000 == 0:
             ts = ts.replace(gaussians=gm.oneup_sh_degree(ts.gaussians))
@@ -284,6 +295,26 @@ def train(
             history.append(m)
         else:
             m = None
+
+        # grow static work buffers on overflow — the TPU analogue of the
+        # reference's resizeFunctional arena growth (rasterize_points.cu:27-33):
+        # one recompile per doubling, "no silent caps" (SURVEY.md §5.7)
+        if it % overflow_check == 0:
+            n_ovf = float(metrics["n_overflow"])
+            t_ovf = float(metrics["tile_overflow"])
+            grew = False
+            if n_ovf > 0:
+                pcfg = replace_cfg(pcfg, instance_multiplier=pcfg.instance_multiplier * 2)
+                print(f"[radegs] instance overflow ({n_ovf:.0f}): growing budget to "
+                      f"capacity x {pcfg.instance_multiplier}", flush=True)
+                grew = True
+            if t_ovf > 0 and pcfg.max_per_tile < 4096:
+                pcfg = replace_cfg(pcfg, max_per_tile=pcfg.max_per_tile * 2)
+                print(f"[radegs] tile overflow ({t_ovf:.0f}): growing max_per_tile to "
+                      f"{pcfg.max_per_tile}", flush=True)
+                grew = True
+            if grew:
+                step_fn = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=scene.extent)
         # callbacks run EVERY iteration; m is floats at log points, else None
         # (callbacks must not force device values off-schedule — each fetch
         # costs a host sync)
