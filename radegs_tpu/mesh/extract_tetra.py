@@ -17,7 +17,6 @@ import numpy as np
 
 from radegs_tpu.mesh.tetmesh import marching_tetrahedra
 from radegs_tpu.models.gaussian_model import get_tetra_points
-from radegs_tpu.renderer import integrate
 from radegs_tpu.utils import ply as plyio
 
 
@@ -58,6 +57,8 @@ def evaluate_cull_alpha(points, views, masks, state, kernel_size, bg,
     (mesh_extract_tetrahedra.py:32-56); -100 where no view sees the point."""
     import jax.numpy as jnp
 
+    from radegs_tpu.renderer import integrate_compiled
+
     N = points.shape[0]
     final = np.ones(N, np.float32)
     weight = np.zeros(N, np.int32)
@@ -68,11 +69,17 @@ def evaluate_cull_alpha(points, views, masks, state, kernel_size, bg,
         mask_img = None
         for s in range(0, N, point_chunk_size):
             e = min(s + point_chunk_size, N)
-            ret = integrate(jnp.asarray(points[s:e]), state, cam, bg,
-                            kernel_size=kernel_size, max_per_tile=max_per_tile,
-                            instance_budget=instance_budget)
-            alphas[s:e] = np.asarray(ret["alpha_integrated"])
-            coords[s:e] = np.asarray(ret["point_coordinate"])
+            # pad the tail chunk to the full size: one jit compile total
+            chunk = points[s:e]
+            pad = point_chunk_size - chunk.shape[0] if N > point_chunk_size else 0
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, 3), np.float32)])
+            ret = integrate_compiled(jnp.asarray(chunk), state, cam, bg,
+                                     kernel_size=kernel_size,
+                                     max_per_tile=max_per_tile,
+                                     instance_budget=instance_budget)
+            alphas[s:e] = np.asarray(ret["alpha_integrated"])[: e - s]
+            coords[s:e] = np.asarray(ret["point_coordinate"])[: e - s]
             if mask_img is None:
                 mask_img = np.asarray(ret["render"][7])
         if masks is not None and masks[ci] is not None:

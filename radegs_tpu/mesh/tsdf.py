@@ -39,11 +39,12 @@ def render_depth_maps(state, views, kernel_size, bg, max_per_tile=1024,
     import jax.numpy as jnp
     import numpy as np
 
-    from radegs_tpu.renderer import render
+    from radegs_tpu.renderer import render_compiled
 
     out = []
     for i, (cam, gt, vidx) in enumerate(views):
-        pkg = render(state, cam, bg, kernel_size=kernel_size, max_per_tile=max_per_tile)
+        pkg = render_compiled(state, cam, bg, kernel_size=kernel_size,
+                              max_per_tile=max_per_tile)
         depth = np.asarray(pkg["median_depth"][0])
         mask = np.asarray(pkg["mask"][0])
         depth = np.where(mask < alpha_thres, 0.0, depth)
@@ -58,7 +59,7 @@ def render_depth_maps(state, views, kernel_size, bg, max_per_tile=1024,
 
 
 def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
-              bounds=None, slab=16, max_resolution=768):
+              bounds=None, slab=32, max_resolution=768):
     """Integrate depth maps into a dense TSDF grid.
 
     Returns (tsdf (Z,Y,X), weight (Z,Y,X), origin (3,), voxel_size).
@@ -107,7 +108,7 @@ def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
     H, W = depth_maps[0][0].shape
 
     @jax.jit
-    def slab_tsdf(z0_world):
+    def slab_tsdf(z0_world, Es, Ks, Ds):
         zs = z0_world + jnp.arange(slab) * voxel_size
         gx = lo[0] + jnp.arange(X) * voxel_size
         gy = lo[1] + jnp.arange(Y) * voxel_size
@@ -122,7 +123,7 @@ def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
             v = K[1, 1] * pc[..., 1] / jnp.maximum(z, 1e-9) + K[1, 2]
             ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 1)
             vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 1)
-            dsmp = D[vi, ui]
+            dsmp = jnp.take(D.reshape(-1), vi * W + ui)
             inside = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (z > 0)
             sdf = dsmp - z
             valid = inside & (dsmp > 0) & (z < depth_max) & (sdf > -trunc)
@@ -136,7 +137,7 @@ def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
     tsdf = np.empty((Z, Y, X), np.float32)
     weight = np.empty((Z, Y, X), np.float32)
     for z0 in range(0, Z, slab):
-        s, w = slab_tsdf(lo[2] + z0 * voxel_size)
+        s, w = slab_tsdf(lo[2] + z0 * voxel_size, Es, Ks, Ds)
         n = min(slab, Z - z0)
         tsdf[z0 : z0 + n] = np.asarray(s)[:n]
         weight[z0 : z0 + n] = np.asarray(w)[:n]

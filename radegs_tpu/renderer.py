@@ -6,6 +6,8 @@ runs preprocess + rasterize, and returns the reference's render() dict.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -62,6 +64,35 @@ def render(
         instance_budget=instance_budget,
         xy_abs=xy_abs,
     )
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_size", "scaling_modifier", "max_per_tile",
+                     "instance_budget", "backend"),
+)
+def render_compiled(state, camera, bg, kernel_size=0.0, scaling_modifier=1.0,
+                    max_per_tile=512, instance_budget=None, backend=None):
+    """Jitted render() for offline/batch callers. Eager (op-by-op) execution
+    pays per-op dispatch latency — ~40s/view through a remote TPU tunnel vs
+    ~0.1s compiled."""
+    out = render(state, camera, bg, kernel_size=kernel_size,
+                 scaling_modifier=scaling_modifier, max_per_tile=max_per_tile,
+                 instance_budget=instance_budget)
+    out.pop("binning", None)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_size", "max_per_tile", "instance_budget")
+)
+def integrate_compiled(points3d, state, camera, bg, kernel_size=0.0,
+                       max_per_tile=1024, instance_budget=None):
+    """Jitted integrate() (fixed point-chunk shapes avoid recompiles)."""
+    out = integrate(points3d, state, camera, bg, kernel_size=kernel_size,
+                    max_per_tile=max_per_tile, instance_budget=instance_budget)
+    out.pop("binning", None)
     return out
 
 

@@ -54,7 +54,7 @@ def render_path(state, cameras, bg, out_dir, kernel_size=0.0, max_per_tile=512,
 
     import numpy as np
 
-    from radegs_tpu.renderer import render
+    from radegs_tpu.renderer import render_compiled as render
     from radegs_tpu.utils.vis import apply_depth_colormap
 
     os.makedirs(out_dir, exist_ok=True)

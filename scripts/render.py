@@ -52,7 +52,7 @@ def main(argv=None):
 
     from radegs_tpu.data.scene import Scene, search_max_iteration
     from radegs_tpu.models import gaussian_model as gm
-    from radegs_tpu.renderer import render as render_fn
+    from radegs_tpu.renderer import render_compiled as render_fn
     from radegs_tpu.train.arguments import add_group, get_combined_args, extract
     from radegs_tpu.train.config import ModelConfig, PipelineConfig
 
