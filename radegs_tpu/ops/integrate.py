@@ -293,15 +293,35 @@ def integrate_points(prep: PreprocessOut, binning: TileBinning, pts: PointProjec
     return a_int.reshape(Npad)[:N], sdf.reshape(Npad)[:N]
 
 
+def point_sdf_from_mid(pts: PointProjection, mid, tiles_x: int):
+    """Per-point SDF from the pixel's median plane (forward.cu:1356-1363)."""
+    within = (pts.pixel[:, 1] % 16) * 16 + (pts.pixel[:, 0] % 16)
+
+    def at(f):
+        return f[pts.tile, within]
+
+    med_depth = (
+        at(mid["mid_dc"])
+        + at(mid["mid_p0"]) * (at(mid["mid_x"]) - pts.xy[:, 0])
+        + at(mid["mid_p1"]) * (at(mid["mid_y"]) - pts.xy[:, 1])
+    )
+    return jnp.where((pts.depth > 0) & pts.valid, med_depth - pts.depth, 0.0)
+
+
 def integrate(points3d, prep: PreprocessOut, camera, bg,
               max_per_tile: int = 1024, instance_budget: int | None = None,
-              chunk: int = 8, point_chunk: int = 256):
+              chunk: int = 8, point_chunk: int = 256, backend: str | None = None):
     """Full integrate (gaussian_renderer/__init__.py:98-195 contract).
 
     Returns dict with render (9,H,W), alpha_integrated (N,),
     point_coordinate (N,2), point_sdf (N,), plus visibility info.
+
+    ``backend``: "xla" | "pallas" | "pallas_interpret" for the point phase;
+    None = auto ("pallas" on TPU).
     """
     assert prep.invraycov is not None, "preprocess with compute_invraycov=True"
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     W, H = camera.width, camera.height
     if instance_budget is None:
         from radegs_tpu.ops.binning import default_instance_budget
@@ -321,8 +341,17 @@ def integrate(points3d, prep: PreprocessOut, camera, bg,
     out_color, mid = integrate_image(prep, binning, bg, counts, width=W, height=H,
                                      chunk=chunk)
     tiles_x, _ = tile_grid(W, H)
-    a_int, sdf = integrate_points(prep, binning, pts, mid, tiles_x, chunk=chunk,
-                                  point_chunk=point_chunk)
+    if backend in ("pallas", "pallas_interpret"):
+        from radegs_tpu.ops.pallas_integrate import integrate_points_pallas
+
+        a_int = integrate_points_pallas(
+            prep, binning, pts, width=W, height=H,
+            interpret=(backend == "pallas_interpret"),
+        )
+        sdf = point_sdf_from_mid(pts, mid, tiles_x)
+    else:
+        a_int, sdf = integrate_points(prep, binning, pts, mid, tiles_x, chunk=chunk,
+                                      point_chunk=point_chunk)
     return {
         "render": out_color,
         "alpha_integrated": a_int,

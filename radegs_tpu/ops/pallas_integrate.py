@@ -1,0 +1,250 @@
+"""Pallas TPU kernel for point-opacity integration (phase B of the
+integrate op) — the hot loop of Marching-Tetrahedra extraction, evaluated
+9x per view over millions of query points (forward.cu:1150-1372).
+
+Work-proportional like the blend kernels: grid over tiles; each program
+walks its tile's Gaussian list once per 128-point chunk, maintaining the
+5 sub-pixel corner transmittances (the reference's contributor recording,
+forward.cu:1019-1133) and the per-point ray-space alpha accumulation —
+exactly the semantics of ops.integrate.integrate_points.
+
+Gaussians stream through VMEM in 128-wide DMA chunks and are consumed
+sequentially in sub-rows of 8 (the corner/point recurrences are ordered);
+per-Gaussian scalars broadcast from (1,1) slices against (5,128)/(1,128)
+point vectors.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radegs_tpu.ops.binning import TileBinning, tile_grid
+from radegs_tpu.ops.integrate import OFFS_X, OFFS_Y, PointProjection, project_points
+from radegs_tpu.ops.pallas_blend import aligned_instance_layout
+
+ALPHA_EPS = 1.0 / 255.0
+T_EPS = 1e-4
+MAX_ALPHA = 0.99
+
+NG_FEAT = 16  # gaussian rows: xy(2) conic(3) opacity ts rp(2) invray6(6) cond
+NP_FEAT = 8   # point rows: px py depth pixfx pixfy valid (2 pad)
+N_OUT = 8     # out rows: alpha_int, T_pt (rest pad)
+
+
+def pack_integrate_features(prep):
+    """(16, P): per-Gaussian attributes needed by the point walk."""
+    opac = prep.opacity
+    if opac.ndim == 2:
+        opac = opac[:, 0]
+    opac = jnp.where(prep.valid, opac, 0.0)
+    irc = prep.invraycov  # (P,3,3)
+    rows = [
+        prep.xy[:, 0], prep.xy[:, 1],
+        prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+        opac, prep.ts,
+        prep.ray_plane[:, 0], prep.ray_plane[:, 1],
+        irc[:, 0, 0], irc[:, 0, 1], irc[:, 0, 2],
+        irc[:, 1, 1], irc[:, 1, 2], irc[:, 2, 2],
+        prep.well_conditioned.astype(jnp.float32),
+    ]
+    return jnp.stack(rows, axis=0)
+
+
+def _pint_kernel(
+    gs_ref, gc_ref, ps_ref, pc_ref,
+    gfeat_hbm, pfeat_hbm,
+    out_hbm,
+    gbuf, grow, pbuf, obuf, gsem, psem, osem,
+    *, chg: int, chp: int,
+):
+    t = pl.program_id(0)
+    g0, gn = gs_ref[t], gc_ref[t]
+    p0, pn = ps_ref[t], pc_ref[t]
+    ngc = pl.cdiv(gn, chg)
+    npc = pl.cdiv(pn, chp)
+
+    # corner offsets built in-kernel (captured constants are rejected)
+    kx = jax.lax.broadcasted_iota(jnp.int32, (5, 1), 0)
+    offx = jnp.where(kx == 0, 0.0, jnp.where((kx == 1) | (kx == 3), -0.5, 0.5))
+    offy = jnp.where(kx == 0, 0.0, jnp.where(kx <= 2, -0.5, 0.5))
+
+    def gdma(slot, gi):
+        off = pl.multiple_of(g0 + gi * chg, chg)
+        return pltpu.make_async_copy(
+            gfeat_hbm.at[:, pl.ds(off, chg)], gbuf.at[slot], gsem.at[slot]
+        )
+
+    def body_points(pi, _):
+        poff = pl.multiple_of(p0 + pi * chp, chp)
+        cp = pltpu.make_async_copy(pfeat_hbm.at[:, pl.ds(poff, chp)], pbuf, psem)
+        cp.start()
+        cp.wait()
+        ppx = pbuf[0:1, :]  # (1,chp) point pixel x
+        ppy = pbuf[1:2, :]
+        pdep = pbuf[2:3, :]
+        # corner sample positions (5,chp): single-axis broadcasts only
+        pfxk = jnp.broadcast_to(pbuf[3:4, :], (5, chp)) + jnp.broadcast_to(offx, (5, chp))
+        pfyk = jnp.broadcast_to(pbuf[4:5, :], (5, chp)) + jnp.broadcast_to(offy, (5, chp))
+
+        @pl.when(ngc > 0)
+        def _():
+            gdma(0, 0).start()
+
+        def body_gchunk(gi, carry):
+            Ts, Tpt, aint = carry
+            slot = jax.lax.rem(gi, 2)
+
+            @pl.when(gi + 1 < ngc)
+            def _():
+                gdma(1 - slot, gi + 1).start()
+
+            gdma(slot, gi).wait()
+            grow[...] = gbuf[slot].T  # (chg, 16) into VMEM scratch
+
+            def body_sub(s, carry2):
+                Ts, Tpt, aint = carry2
+                sub = grow[pl.ds(s * 8, 8), :]  # (8,16)
+                zrow = jnp.zeros((1, chp), jnp.float32)
+                for j in range(8):
+                    def c(k):
+                        # lane-broadcast via add: Mosaic cannot broadcast a
+                        # (1,1) into both sublanes and lanes in one op, and
+                        # composed broadcast_in_dims get fused back together
+                        return sub[j : j + 1, k : k + 1] + zrow
+
+                    gidx = gi * chg + s * 8 + j
+                    in_rng = jnp.where(gidx < gn, 1.0, 0.0)
+                    gx, gy = c(0), c(1)
+                    ca, cb, cc = c(2), c(3), c(4)
+                    op = c(5) * in_rng
+                    # 5-corner recurrence at the point's pixel center
+                    # ((1,chp) vs (5,chp): sublane-only broadcast in the sub)
+                    dxk = gx - pfxk  # (5,chp)
+                    dyk = gy - pfyk
+                    power = -0.5 * (ca * dxk * dxk + cc * dyk * dyk) - cb * dxk * dyk
+                    al = jnp.minimum(MAX_ALPHA, op * jnp.exp(jnp.minimum(power, 0.0)))
+                    passes = (power <= 0.0) & (al >= ALPHA_EPS)
+                    test = Ts * (1.0 - al)
+                    ok = passes & (test >= T_EPS)
+                    Ts = jnp.where(ok, test, Ts)
+                    used = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0, keepdims=True)
+                    # ray-space 3D alpha at the point
+                    dx = gx - ppx
+                    dy = gy - ppy
+                    t_at = c(6) + c(7) * dx + c(8) * dy
+                    cond = c(15)
+                    dz = jnp.where(cond > 0.5, c(6) - jnp.minimum(pdep, t_at), c(6))
+                    pw = -0.5 * (
+                        c(9) * dx * dx + c(12) * dy * dy + c(14) * dz * dz
+                        + 2.0 * (c(10) * dx * dy + c(11) * dx * dz + c(13) * dy * dz)
+                    )
+                    apt = jnp.minimum(MAX_ALPHA, op * jnp.exp(jnp.minimum(pw, 0.0)))
+                    apt = jnp.where((cond > 0.5) | (pdep >= t_at), apt, 0.0)
+                    inc = (used > 0.5) & (apt >= ALPHA_EPS)
+                    aint = aint + jnp.where(inc, apt * Tpt, 0.0)
+                    Tpt = jnp.where(inc, Tpt * (1.0 - apt), Tpt)
+                return Ts, Tpt, aint
+
+            return jax.lax.fori_loop(0, chg // 8, body_sub, (Ts, Tpt, aint))
+
+        init = (jnp.ones((5, chp), jnp.float32), jnp.ones((1, chp), jnp.float32),
+                jnp.zeros((1, chp), jnp.float32))
+        Ts, Tpt, aint = jax.lax.fori_loop(0, ngc, body_gchunk, init)
+
+        obuf[...] = jnp.concatenate(
+            [aint, Tpt, jnp.zeros((N_OUT - 2, chp), jnp.float32)], axis=0
+        )
+        od = pltpu.make_async_copy(obuf, out_hbm.at[:, pl.ds(poff, chp)], osem)
+        od.start()
+        od.wait()
+        return 0
+
+    jax.lax.fori_loop(0, npc, body_points, 0)
+
+
+def bin_points_aligned(pts: PointProjection, num_tiles: int, chunk: int = 128):
+    """Sort points by tile and lay them out 128-aligned per tile run.
+
+    Returns (point_id_aligned (Bp,), astart (T,), count (T,),
+    sorted_original_ids (Bp,) with -1 pads)."""
+    N = pts.tile.shape[0]
+    tid = jnp.where(pts.valid, pts.tile, num_tiles)
+    order_key, pid_s = jax.lax.sort(
+        (tid.astype(jnp.int32), jnp.arange(N, dtype=jnp.int32)), num_keys=1
+    )
+    hist = jnp.zeros((num_tiles + 1,), jnp.int32).at[order_key].add(1)[:num_tiles]
+    tile_start = (jnp.cumsum(hist) - hist).astype(jnp.int32)
+    fake = TileBinning(
+        gauss_id=pid_s, tile_id=order_key, tile_start=tile_start, tile_count=hist,
+        tile_gauss=None, n_instances=None, n_overflow=None, tile_overflow=None,
+        max_tile_count=None,
+    )
+    pid_aligned, astart = aligned_instance_layout(fake, num_tiles, chunk)
+    return pid_aligned, astart, hist
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "chunk", "interpret"))
+def integrate_points_pallas(prep, binning: TileBinning, pts: PointProjection,
+                            *, width: int, height: int, chunk: int = 128,
+                            interpret: bool = False):
+    """Per-point alpha integration on TPU. Returns alpha_integrated (N,) in
+    ORIGINAL point order (1.0 for invalid points, matching the XLA path)."""
+    tiles_x, tiles_y = tile_grid(width, height)
+    T = tiles_x * tiles_y
+    P = prep.xy.shape[0]
+    N = pts.xy.shape[0]
+
+    gfeat = pack_integrate_features(prep)  # (16,P)
+    gid_aligned, g_astart = aligned_instance_layout(binning, T, chunk)
+    gfeat_sorted = jnp.take(gfeat, jnp.clip(gid_aligned, 0, P - 1), axis=1)
+    # zero the opacity of pad slots so they never contribute
+    gfeat_sorted = gfeat_sorted.at[5].multiply((gid_aligned >= 0).astype(jnp.float32))
+
+    pid_aligned, p_astart, p_count = bin_points_aligned(pts, T, chunk)
+    pid_safe = jnp.clip(pid_aligned, 0, N - 1)
+    pixf = jnp.floor(pts.xy) + 0.5
+    pfeat = jnp.stack(
+        [pts.xy[:, 0], pts.xy[:, 1], pts.depth, pixf[:, 0], pixf[:, 1],
+         pts.valid.astype(jnp.float32), jnp.zeros((N,)), jnp.zeros((N,))],
+        axis=0,
+    )  # (8,N)
+    pfeat_aligned = jnp.take(pfeat, pid_safe, axis=1)
+    Bp = pid_aligned.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, NG_FEAT, chunk), jnp.float32),
+            pltpu.VMEM((chunk, NG_FEAT), jnp.float32),
+            pltpu.VMEM((NP_FEAT, chunk), jnp.float32),
+            pltpu.VMEM((N_OUT, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_pint_kernel, chg=chunk, chp=chunk),
+        out_shape=jax.ShapeDtypeStruct((N_OUT, Bp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(g_astart, binning.tile_count, p_astart, p_count,
+      gfeat_sorted, pfeat_aligned)
+
+    # route back to original point order (pad slots dropped, invalid -> 1.0)
+    a_aligned = out[0]
+    ok = pid_aligned >= 0
+    a_orig = (
+        jnp.ones((N + 1,), jnp.float32)
+        .at[jnp.where(ok, pid_aligned, N)].set(jnp.where(ok, a_aligned, 1.0))[:N]
+    )
+    return jnp.where(pts.valid, a_orig, 1.0)

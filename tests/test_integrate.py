@@ -90,3 +90,39 @@ def test_alpha_integrated_ordering_and_sdf(scene):
 
     # projected-point count channel
     assert img9[8].sum() == probes.shape[0]
+
+
+def test_pallas_integrate_full_parity(scene):
+    """Full integrate dict: pallas point phase vs the XLA walk."""
+    import jax
+
+    from radegs_tpu.core.projection import preprocess_gaussians
+
+    state, cam = scene
+    bg = jnp.zeros(3)
+    probes = jnp.asarray(
+        np.concatenate([
+            np.random.default_rng(5).normal(size=(200, 3)) * 0.8,
+            [[0, 0, -1.0], [0, 0, 0.5]],
+        ]), jnp.float32,
+    )
+    from radegs_tpu.renderer import integrate as rintegrate
+
+    scales, opacity = state.get_fused_scaling_opacity()
+    opacity = jnp.where(state.active[:, None], opacity, 0.0)
+    prep = preprocess_gaussians(
+        state.params.xyz, scales, state.get_rotation(), opacity,
+        state.get_features(), sh_degree=3, camera=cam, compute_invraycov=True,
+    )
+    prep = prep.replace(valid=prep.valid & state.active)
+    from radegs_tpu.ops.integrate import integrate as op_integrate
+
+    ox = op_integrate(probes, prep, cam, bg, max_per_tile=256,
+                      instance_budget=1 << 13, backend="xla")
+    op = op_integrate(probes, prep, cam, bg, max_per_tile=256,
+                      instance_budget=1 << 13, backend="pallas_interpret")
+    ax = np.where(np.asarray(ox["point_valid"]), np.asarray(ox["alpha_integrated"]), 1.0)
+    ap = np.asarray(op["alpha_integrated"])
+    assert np.abs(ax - ap).max() < 1e-5
+    np.testing.assert_allclose(np.asarray(ox["point_sdf"]), np.asarray(op["point_sdf"]),
+                               atol=1e-5)
