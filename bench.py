@@ -29,6 +29,7 @@ ITERS = 10
 
 
 def build_scene(seed=0):
+    import jax
     import jax.numpy as jnp
 
     from radegs_tpu.core.camera import Camera
@@ -37,17 +38,25 @@ def build_scene(seed=0):
     rng = np.random.default_rng(seed)
     pts = (rng.normal(size=(N_GAUSS, 3)) * 1.2).astype(np.float32)
     cols = rng.uniform(0.1, 0.9, size=(N_GAUSS, 3)).astype(np.float32)
-    state = gm.create_from_points(pts, cols, capacity=CAPACITY)
-    # shrink splats so the scene fits the instance budget (no overflow):
-    # 3-NN init on a random cloud gives ~12M tile instances at 1600x1200,
-    # 11x over budget — a truncated render would overstate rays/s
-    state = state.replace(
-        params=state.params.replace(scaling=state.params.scaling + np.log(0.22))
-    )
     cam = Camera.look_at(
         [0.0, 0.8, -5.0], [0, 0, 0], [0, 1, 0], 0.9, 0.7, WIDTH, HEIGHT
     )
-    state = gm.update_3d_filter(state, [cam])
+
+    # one jit for setup: eagerly this is ~60 op-by-op compiles (~3min on a
+    # cold remote-compile cache)
+    @jax.jit
+    def make_state(pts, cols):
+        state = gm.create_from_points(pts, cols, capacity=CAPACITY)
+        # shrink splats so the scene fits the instance budget (no overflow):
+        # 3-NN init on a random cloud gives ~12M tile instances at 1600x1200
+        state = state.replace(
+            params=state.params.replace(
+                scaling=state.params.scaling + float(np.log(0.22))
+            )
+        )
+        return gm.update_3d_filter(state, [cam])
+
+    state = make_state(pts, cols)
     gt = jnp.clip(
         jnp.asarray(rng.uniform(size=(3, HEIGHT, WIDTH)), jnp.float32), 0.0, 1.0
     )
