@@ -406,6 +406,13 @@ def _bwd_kernel(
         s_tot = s_tot + gc[k] * tc[k] + gn[k] * tn[k] + gx[k] * txx[k]
     init = dict(t_cur=jnp.ones((1, px), f32), done=zrow(), pre_dot=zrow())
 
+    # per-pixel cotangent bank for the MXU reduction (see body): the 25
+    # per-contributor sums become one (14*CH, px) @ (px, 16) matmul
+    vbank = jnp.concatenate(
+        gc + gn + gx + gmx + [gd, gmt, jnp.ones((1, px), f32), zrow()], axis=0
+    ).T  # (px, 16)
+    GC0, GN0, GX0, GMX0, GD, GMT, ONE = 0, 3, 6, 9, 12, 13, 14
+
     def body(ci, acc):
         slot = jax.lax.rem(ci, 2)
 
@@ -458,41 +465,55 @@ def _bwd_kernel(
         pos = (ci * CH + row) + jnp.zeros((CH, px), jnp.int32)
         is_med = include & (pos == mp)
         is_med_f = jnp.where(is_med, 1.0, 0.0)
-        dL_dt = w * gd + is_med_f * gmt
-        dL_dcoord = [w * gx[k] + is_med_f * gmx[k] for k in range(3)]
 
         unclipped = (raw < MAX_ALPHA) & include
         dL_draw = jnp.where(unclipped, dL_dalpha, 0.0)
-        dL_dop = dL_draw * falloff
         dL_dG = dL_draw * col(5)
 
         gdx, gdy = falloff * dx, falloff * dy
-        dG_ddelx = -gdx * ca - gdy * cb
-        dG_ddely = -gdy * cc - gdx * cb
-        dL_ddelx = dL_dG * dG_ddelx + dL_dt * col(10)
-        dL_ddely = dL_dG * dG_ddely + dL_dt * col(11)
-        for k in range(3):
-            dL_ddelx += dL_dcoord[k] * col(15 + k)
-            dL_ddely += dL_dcoord[k] * col(18 + k)
-        absg = jnp.abs(dL_dG * dG_ddelx) * (width * 0.5) + jnp.abs(
-            dL_dG * dG_ddely
-        ) * (height * 0.5)
+        e_x = dL_dG * (-gdx * ca - gdy * cb)  # dL_dG * dG/ddelx
+        e_y = dL_dG * (-gdy * cc - gdx * cb)
 
-        def red(v):
-            return jnp.sum(v, axis=1, keepdims=True)  # (CH, 1)
+        # all 25 per-contributor pixel reductions as ONE MXU matmul: each is
+        # a dot of one of 14 (CH, px) matrices against a per-pixel cotangent
+        # column from vbank (cross-lane VPU reduce trees are ~half the kernel)
+        M = jnp.concatenate(
+            [
+                w, w * dx, w * dy,
+                is_med_f, is_med_f * dx, is_med_f * dy,
+                e_x, e_y, jnp.abs(e_x), jnp.abs(e_y),
+                dL_draw * falloff,
+                -0.5 * gdx * dx * dL_dG, -gdx * dy * dL_dG, -0.5 * gdy * dy * dL_dG,
+            ],
+            axis=0,
+        )  # (14*CH, px)
+        R = jnp.dot(M, vbank, preferred_element_type=jnp.float32)  # (14*CH, 16)
+
+        def r(b, c):
+            return R[b * CH : (b + 1) * CH, c : c + 1]  # (CH, 1)
+
+        out_t = r(0, GD) + r(3, GMT)  # red(dL_dt)
+        out_coord = [r(0, GX0 + k) + r(3, GMX0 + k) for k in range(3)]
+        out_dx = r(6, ONE) + col(10) * out_t
+        out_dy = r(7, ONE) + col(11) * out_t
+        for k in range(3):
+            out_dx = out_dx + col(15 + k) * out_coord[k]
+            out_dy = out_dy + col(18 + k) * out_coord[k]
 
         cols = [
-            red(dL_ddelx), red(dL_ddely), red(absg),
-            red(-0.5 * gdx * dx * dL_dG), red(-gdx * dy * dL_dG),
-            red(-0.5 * gdy * dy * dL_dG),
-            red(dL_dop),
-            red(w * gc[0]), red(w * gc[1]), red(w * gc[2]),
-            red(dL_dcoord[0]), red(dL_dcoord[1]), red(dL_dcoord[2]),
-            red(dL_dcoord[0] * dx), red(dL_dcoord[1] * dx), red(dL_dcoord[2] * dx),
-            red(dL_dcoord[0] * dy), red(dL_dcoord[1] * dy), red(dL_dcoord[2] * dy),
-            red(dL_dt * dx), red(dL_dt * dy),
-            red(w * gn[0]), red(w * gn[1]), red(w * gn[2]),
-            red(dL_dt),
+            out_dx, out_dy,
+            (width * 0.5) * r(8, ONE) + (height * 0.5) * r(9, ONE),
+            r(11, ONE), r(12, ONE), r(13, ONE),
+            r(10, ONE),
+            r(0, GC0), r(0, GC0 + 1), r(0, GC0 + 2),
+            out_coord[0], out_coord[1], out_coord[2],
+            r(1, GX0) + r(4, GMX0), r(1, GX0 + 1) + r(4, GMX0 + 1),
+            r(1, GX0 + 2) + r(4, GMX0 + 2),
+            r(2, GX0) + r(5, GMX0), r(2, GX0 + 1) + r(5, GMX0 + 1),
+            r(2, GX0 + 2) + r(5, GMX0 + 2),
+            r(1, GD) + r(4, GMT), r(2, GD) + r(5, GMT),
+            r(0, GN0), r(0, GN0 + 1), r(0, GN0 + 2),
+            out_t,
         ]
         gmat = jnp.concatenate(cols, axis=1)  # (CH, 25)
         gmat = jnp.concatenate(

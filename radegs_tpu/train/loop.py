@@ -31,6 +31,11 @@ from radegs_tpu.train.config import (
 from radegs_tpu.train.optim import BETA1, BETA2, EPS, GroupLRs, adam_step, expon_lr
 
 
+# HBM guard for the auto-growing instance budget (16M instances ~ several GB
+# of flat per-instance state in the backward pass)
+MAX_INSTANCE_BUDGET = 1 << 24
+
+
 @struct.dataclass
 class TrainState:
     gaussians: gm.GaussianState
@@ -82,8 +87,9 @@ def compute_loss(
         bg,
         kernel_size=mcfg.kernel_size,
         max_per_tile=pcfg.max_per_tile,
-        instance_budget=default_instance_budget(
-            gaussians.capacity, pcfg.instance_multiplier
+        instance_budget=min(
+            default_instance_budget(gaussians.capacity, pcfg.instance_multiplier),
+            MAX_INSTANCE_BUDGET,
         ),
         xy_offset=xy_offset,
         xy_abs=xy_abs,
@@ -121,6 +127,7 @@ def compute_loss(
         "visibility": out["visibility_filter"],
         "psnr": -10.0 * jnp.log10(jnp.mean((image - gt_image) ** 2)),
         "n_overflow": out["binning"].n_overflow,
+        "n_instances": out["binning"].n_instances,
         "tile_overflow": out["binning"].tile_overflow,
     }
     return loss, aux
@@ -200,7 +207,7 @@ def make_train_step(mcfg: ModelConfig, ocfg: OptimizationConfig, pcfg: PipelineC
         g = gm.update_max_radii(g, aux["radii"], aux["visibility"])
 
         metrics = {k: aux[k] for k in ["loss", "l1", "depth_normal_loss", "psnr",
-                                       "n_overflow", "tile_overflow"]}
+                                       "n_overflow", "tile_overflow", "n_instances"]}
         return ts.replace(gaussians=g, app_params=app_params, app_m=app_m, app_v=app_v,
                           iteration=it), metrics
 
@@ -303,10 +310,26 @@ def train(
             n_ovf = float(metrics["n_overflow"])
             t_ovf = float(metrics["tile_overflow"])
             grew = False
-            if n_ovf > 0:
+            budget = ts.gaussians.capacity * pcfg.instance_multiplier
+            if n_ovf > 0 and budget < MAX_INSTANCE_BUDGET:
                 pcfg = replace_cfg(pcfg, instance_multiplier=pcfg.instance_multiplier * 2)
                 print(f"[radegs] instance overflow ({n_ovf:.0f}): growing budget to "
                       f"capacity x {pcfg.instance_multiplier}", flush=True)
+                grew = True
+            elif n_ovf > 0:
+                print(f"[radegs] instance overflow ({n_ovf:.0f}) at the "
+                      f"{MAX_INSTANCE_BUDGET} budget cap — rendering truncated",
+                      flush=True)
+            # shrink when the dense phase passes: a 4x-underused budget
+            # costs sort/scatter time proportional to the budget, not to
+            # the real instance count
+            if (not grew and pcfg.instance_multiplier > 8
+                    and float(metrics["n_instances"]) * 4 < budget):
+                pcfg = replace_cfg(pcfg,
+                                   instance_multiplier=pcfg.instance_multiplier // 2)
+                print(f"[radegs] budget underused "
+                      f"({float(metrics['n_instances']):.0f}/{budget}): shrinking "
+                      f"to capacity x {pcfg.instance_multiplier}", flush=True)
                 grew = True
             if t_ovf > 0 and pcfg.max_per_tile < 4096:
                 pcfg = replace_cfg(pcfg, max_per_tile=pcfg.max_per_tile * 2)
