@@ -64,11 +64,19 @@ def build_scene(seed=0):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from radegs_tpu.train.config import ModelConfig, OptimizationConfig, PipelineConfig
     from radegs_tpu.train.loop import init_train_state, make_train_step
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", type=str, default=None,
+                    help="capture a jax.profiler trace of 3 steps to DIR "
+                         "(per-stage breakdown: scripts/bench_breakdown.py)")
+    args = ap.parse_args()
 
     state, cam, gt = build_scene()
     ts = init_train_state(state, jax.random.PRNGKey(0))
@@ -91,6 +99,12 @@ def main():
         ts, metrics = step(ts, cam, gt, bg, 0, WIDTH, HEIGHT)
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / ITERS
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(3):
+                ts, metrics = step(ts, cam, gt, bg, 0, WIDTH, HEIGHT)
+            float(metrics["loss"])
 
     rays_per_s = WIDTH * HEIGHT / dt
     print(

@@ -247,7 +247,19 @@ def camera_intrinsics(cam: ColmapCamera):
     if cam.model == "PINHOLE":
         return float(cam.params[0]), float(cam.params[1])
     if cam.model in ("SIMPLE_RADIAL", "RADIAL"):
-        # tolerate undistorted-as-radial exports; treat as simple pinhole
+        # tolerate undistorted-as-radial exports; treat as simple pinhole,
+        # but warn when the distortion coefficients are non-negligible —
+        # the reference refuses non-pinhole models (dataset_readers.py:120-135)
+        import warnings
+
+        k = [float(p) for p in cam.params[3:]]
+        if any(abs(v) > 1e-6 for v in k):
+            warnings.warn(
+                f"COLMAP camera model {cam.model} has non-zero distortion "
+                f"{k}; treating as pinhole WITHOUT undistortion — geometry "
+                "will be wrong. Undistort the dataset first.",
+                stacklevel=2,
+            )
         return float(cam.params[0]), float(cam.params[0])
     raise ValueError(
         f"Unsupported COLMAP camera model {cam.model}: undistort the dataset "

@@ -374,6 +374,59 @@ def maybe_grow(state: GaussianState, headroom: float = 0.9) -> GaussianState:
     )
 
 
+def resize_capacity(state: GaussianState, new_capacity: int) -> GaussianState:
+    """Return a state with capacity ``new_capacity`` (host-side, recompile
+    trigger). Growing pads with inactive slots; shrinking compacts active
+    entries first and requires n_active <= new_capacity — the shape-agnostic
+    analogue of the reference's restore() (scene/gaussian_model.py:89-109),
+    which accepts any point count because torch tensors carry their shapes."""
+    C = state.capacity
+    if new_capacity == C:
+        return state
+    if new_capacity > C:
+        pad_n = new_capacity - C
+
+        def grow(x):
+            pad = [(0, pad_n)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad)
+
+        grow_p = lambda pp: jax.tree.map(grow, pp)
+        return state.replace(
+            params=grow_p(state.params),
+            active=grow(state.active),
+            filter_3d=grow(state.filter_3d),
+            max_radii2d=grow(state.max_radii2d),
+            grad_accum=grow(state.grad_accum),
+            grad_abs_accum=grow(state.grad_abs_accum),
+            grad_abs_max=grow(state.grad_abs_max),
+            denom=grow(state.denom),
+            adam_m=grow_p(state.adam_m),
+            adam_v=grow_p(state.adam_v),
+        )
+    n = int(state.n_active())
+    if n > new_capacity:
+        raise ValueError(
+            f"cannot shrink capacity to {new_capacity}: {n} active gaussians"
+        )
+    # compact active entries to the front, then truncate
+    order = np.argsort(~np.asarray(jax.device_get(state.active)), kind="stable")
+    idx = jnp.asarray(order[:new_capacity])
+    take = lambda x: x[idx]
+    take_p = lambda pp: jax.tree.map(take, pp)
+    return state.replace(
+        params=take_p(state.params),
+        active=take(state.active),
+        filter_3d=take(state.filter_3d),
+        max_radii2d=take(state.max_radii2d),
+        grad_accum=take(state.grad_accum),
+        grad_abs_accum=take(state.grad_abs_accum),
+        grad_abs_max=take(state.grad_abs_max),
+        denom=take(state.denom),
+        adam_m=take_p(state.adam_m),
+        adam_v=take_p(state.adam_v),
+    )
+
+
 def get_tetra_points(state: GaussianState):
     """Tetrahedralization seeds (gaussian_model.py:399-429): the 8 oriented
     box corners at 3-sigma (filtered scales) plus the centers.

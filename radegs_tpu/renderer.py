@@ -27,6 +27,7 @@ def render(
     instance_budget: int | None = None,
     xy_offset=None,
     xy_abs=None,
+    backend: str | None = None,
 ):
     """Render a view. Mirrors gaussian_renderer/__init__.py:19-95: always
     uses the fused filtered scales+opacity (line 63) and GPU-side SH eval.
@@ -63,6 +64,7 @@ def render(
         max_per_tile=max_per_tile,
         instance_budget=instance_budget,
         xy_abs=xy_abs,
+        backend=backend,
     )
     return out
 
@@ -79,7 +81,7 @@ def render_compiled(state, camera, bg, kernel_size=0.0, scaling_modifier=1.0,
     ~0.1s compiled."""
     out = render(state, camera, bg, kernel_size=kernel_size,
                  scaling_modifier=scaling_modifier, max_per_tile=max_per_tile,
-                 instance_budget=instance_budget)
+                 instance_budget=instance_budget, backend=backend)
     out.pop("binning", None)
     return out
 

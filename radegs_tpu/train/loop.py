@@ -265,7 +265,7 @@ def train(
     stack = []
     history = []
     start_it = int(ts.iteration)
-    overflow_check = max(log_every, 10)
+    prev_metrics = None  # overflow is checked EVERY iteration, one step late
     for it in range(start_it + 1, ocfg.iterations + 1):
         if it % 1000 == 0:
             ts = ts.replace(gaussians=gm.oneup_sh_degree(ts.gaussians))
@@ -305,10 +305,15 @@ def train(
 
         # grow static work buffers on overflow — the TPU analogue of the
         # reference's resizeFunctional arena growth (rasterize_points.cu:27-33):
-        # one recompile per doubling, "no silent caps" (SURVEY.md §5.7)
-        if it % overflow_check == 0:
-            n_ovf = float(metrics["n_overflow"])
-            t_ovf = float(metrics["tile_overflow"])
+        # one recompile per doubling, "no silent caps" (SURVEY.md §5.7).
+        # Checked every iteration against the PREVIOUS step's metrics: that
+        # step has already finished by the time this one is enqueued, so the
+        # float() fetch hides behind the in-flight device work instead of
+        # adding a host sync — at most one frame renders truncated before the
+        # budget grows (vs up to log_every frames when polled).
+        if prev_metrics is not None:
+            n_ovf = float(prev_metrics["n_overflow"])
+            t_ovf = float(prev_metrics["tile_overflow"])
             grew = False
             budget = ts.gaussians.capacity * pcfg.instance_multiplier
             if n_ovf > 0 and budget < MAX_INSTANCE_BUDGET:
@@ -322,13 +327,14 @@ def train(
                       flush=True)
             # shrink when the dense phase passes: a 4x-underused budget
             # costs sort/scatter time proportional to the budget, not to
-            # the real instance count
-            if (not grew and pcfg.instance_multiplier > 8
-                    and float(metrics["n_instances"]) * 4 < budget):
+            # the real instance count (checked at a slow cadence so one
+            # sparse view can't flap the budget down and straight back up)
+            if (not grew and it % 100 == 0 and pcfg.instance_multiplier > 8
+                    and float(prev_metrics["n_instances"]) * 4 < budget):
                 pcfg = replace_cfg(pcfg,
                                    instance_multiplier=pcfg.instance_multiplier // 2)
                 print(f"[radegs] budget underused "
-                      f"({float(metrics['n_instances']):.0f}/{budget}): shrinking "
+                      f"({float(prev_metrics['n_instances']):.0f}/{budget}): shrinking "
                       f"to capacity x {pcfg.instance_multiplier}", flush=True)
                 grew = True
             if t_ovf > 0 and pcfg.max_per_tile < 4096:
@@ -338,6 +344,7 @@ def train(
                 grew = True
             if grew:
                 step_fn = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=scene.extent)
+        prev_metrics = metrics
         # callbacks run EVERY iteration; m is floats at log points, else None
         # (callbacks must not force device values off-schedule — each fetch
         # costs a host sync)

@@ -7,6 +7,12 @@ one pytree (params + Adam moments + accumulators + appearance + iteration),
 so a checkpoint is an orbax PyTree snapshot; filter_3D is captured too (the
 reference recomputes it after restore — we keep both behaviors valid since
 update_3d_filter is idempotent).
+
+Restore is capacity-flexible, mirroring the reference's shape-agnostic
+restore() (scene/gaussian_model.py:89-109): the checkpoint's own capacity is
+read from its metadata first, the caller's template is resized to match, and
+the result is grown back to at least the template's capacity — so resuming a
+run whose capacity grew mid-densification (the normal case) just works.
 """
 
 from __future__ import annotations
@@ -25,13 +31,43 @@ def save_checkpoint(path: str, train_state, iteration: int):
     ocp.PyTreeCheckpointer().save(path, ckpt, force=True)
 
 
-def load_checkpoint(path: str, template_state):
-    """Restore into the structure of ``template_state`` (shapes must match,
-    i.e. same capacity — grow/shrink before restoring if needed)."""
+def checkpoint_capacity(path: str) -> int:
+    """The gaussian capacity stored in a checkpoint, read without loading the
+    tensor data (falls back to a raw restore if metadata is unavailable)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    try:
+        md = ocp.PyTreeCheckpointer().metadata(path)
+        node = md["state"]["gaussians"]["params"]["xyz"]
+        return int(node.shape[0])
+    except Exception:
+        raw = ocp.PyTreeCheckpointer().restore(path)
+        return int(np.asarray(raw["state"]["gaussians"]["params"]["xyz"]).shape[0])
+
+
+def load_checkpoint(path: str, template_state, capacity: int | None = None):
+    """Restore into the structure of ``template_state``, resizing to the
+    checkpoint's saved capacity automatically.
+
+    The returned state's capacity is max(checkpoint, template, ``capacity``)
+    so a resumed run never loses headroom it already had.
+    """
+    import orbax.checkpoint as ocp
+
+    from radegs_tpu.models import gaussian_model as gm
+
+    path = os.path.abspath(path)
+    ckpt_cap = checkpoint_capacity(path)
+    template_cap = template_state.gaussians.capacity
+    if ckpt_cap != template_cap:
+        template_state = template_state.replace(
+            gaussians=gm.resize_capacity(template_state.gaussians, ckpt_cap)
+        )
     template = {"state": jax.device_get(template_state), "iteration": 0}
     ckpt = ocp.PyTreeCheckpointer().restore(path, item=template)
     state = jax.tree.map(jax.numpy.asarray, ckpt["state"])
+    target_cap = max(ckpt_cap, template_cap, capacity or 0)
+    if target_cap != ckpt_cap:
+        state = state.replace(gaussians=gm.resize_capacity(state.gaussians, target_cap))
     return state, int(ckpt["iteration"])

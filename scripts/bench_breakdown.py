@@ -1,0 +1,195 @@
+"""Per-stage timing breakdown of the train step (SURVEY.md §5.1 harness).
+
+Times cumulative pipeline prefixes (preprocess | +binning | +forward blend |
++loss tail | +backward | full step) with chained jitted calls — each
+iteration's input is perturbed by the previous output's scalar, so the chain
+cannot be deduplicated or overlapped — and reports per-stage deltas.
+
+Standalone micro-benchmarks of single ops are unreliable through the TPU
+tunnel (results can be cached); chained prefixes with ONE final fetch is the
+method CLAUDE.md prescribes. Stage cost = difference of adjacent prefixes
+(noise ~1-2 ms, so small stages are indicative only).
+
+Usage: python scripts/bench_breakdown.py [--iters 10] [--trace DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--trace", type=str, default=None,
+                    help="capture a jax.profiler trace of the full step to DIR")
+    args = ap.parse_args()
+
+    import bench  # reuse the headline scene builder
+    import jax
+    import jax.numpy as jnp
+
+    from radegs_tpu.core.projection import preprocess_gaussians
+    from radegs_tpu.ops.binning import bin_gaussians, default_instance_budget
+    from radegs_tpu.ops import rasterize as rz
+    from radegs_tpu.train.config import ModelConfig, OptimizationConfig, PipelineConfig
+    from radegs_tpu.train.loop import compute_loss, init_train_state, make_train_step
+
+    W, H = bench.WIDTH, bench.HEIGHT
+    state, cam, gt = bench.build_scene()
+    ts0 = init_train_state(state, jax.random.PRNGKey(0))
+    bg = jnp.zeros(3)
+    mcfg = ModelConfig(kernel_size=0.1)
+    ocfg = OptimizationConfig(regularization_from_iter=0)
+    pcfg = PipelineConfig(max_per_tile=512)
+    budget = min(default_instance_budget(state.capacity, pcfg.instance_multiplier),
+                 1 << 24)
+
+    def prep_of(g):
+        scales, opacity = g.get_fused_scaling_opacity()
+        opacity = jnp.where(g.active[:, None], opacity, 0.0)
+        prep = preprocess_gaussians(
+            g.params.xyz, scales, g.get_rotation(), opacity, g.get_features(),
+            sh_degree=g.max_sh_degree, camera=cam, kernel_size=mcfg.kernel_size,
+            active_sh_degree=g.active_sh_degree,
+        )
+        return prep.replace(valid=prep.valid & g.active)
+
+    def binning_of(prep):
+        return bin_gaussians(
+            jax.lax.stop_gradient(prep.xy), jax.lax.stop_gradient(prep.radius),
+            jax.lax.stop_gradient(prep.depth), prep.valid, W, H,
+            instance_budget=budget, max_per_tile=pcfg.max_per_tile,
+        )
+
+    # ---- cumulative prefixes; each returns ONE scalar used to perturb the
+    # next call's input (forces a serial chain on device)
+    @jax.jit
+    def p_preprocess(g):
+        prep = prep_of(g)
+        return jnp.sum(prep.xy) * 1e-20 + jnp.sum(prep.depth) * 1e-20
+
+    @jax.jit
+    def p_binning(g):
+        prep = prep_of(g)
+        b = binning_of(prep)
+        return b.n_instances.astype(jnp.float32) * 1e-20
+
+    @jax.jit
+    def p_pack(g):
+        from radegs_tpu.ops.pallas_blend import aligned_instance_layout, pack_features
+
+        prep = prep_of(g)
+        b = binning_of(prep)
+        feat = pack_features(
+            prep.xy, prep.conic,
+            jnp.where(prep.valid, prep.opacity, 0.0),
+            prep.rgb, prep.view_point, prep.camera_plane, prep.ray_plane,
+            prep.normal, prep.ts,
+        )
+        T = ((W + 15) // 16) * ((H + 15) // 16)
+        gid_aligned, astart = aligned_instance_layout(b, T, 128)
+        feat_sorted = jnp.take(feat, jnp.clip(gid_aligned, 0, g.capacity - 1), axis=1)
+        return jnp.sum(feat_sorted[0]) * 1e-20 + jnp.sum(astart) * 1e-20
+
+    @jax.jit
+    def p_blend_fwd(g):
+        prep = prep_of(g)
+        b = binning_of(prep)
+        cfg = rz.RasterCfg(width=W, height=H, backend=(
+            "pallas" if jax.default_backend() == "tpu" else "xla"))
+        inputs = (prep.xy, prep.conic, jnp.where(prep.valid, prep.opacity, 0.0),
+                  prep.rgb, prep.view_point, prep.camera_plane, prep.ray_plane,
+                  prep.normal, prep.ts)
+        raw = rz._forward_dispatch(cfg, b, inputs)
+        return jnp.sum(raw["color_raw"]) * 1e-20
+
+    @jax.jit
+    def p_fwd_loss(g):
+        loss, aux = compute_loss(
+            g, None, jnp.zeros((g.capacity, 2)), jnp.zeros((g.capacity, 2)),
+            cam, gt, bg, jnp.asarray(1, jnp.int32), mcfg, ocfg, pcfg)
+        return loss * 1e-20
+
+    @jax.jit
+    def p_grads(g):
+        zeros2 = jnp.zeros((g.capacity, 2))
+
+        def loss_fn(params, xy_offset, xy_abs):
+            gg = g.replace(params=params)
+            return compute_loss(gg, None, xy_offset, xy_abs, cam, gt, bg,
+                                jnp.asarray(1, jnp.int32), mcfg, ocfg, pcfg)
+
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(g.params, zeros2, zeros2)
+        return (loss + sum(jnp.sum(x) for x in jax.tree.leaves(grads))) * 1e-20
+
+    step = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=5.0)
+
+    def time_prefix(fn, name):
+        g = ts0.gaussians
+        bump = 0.0
+        for _ in range(args.warmup):
+            bump = fn(g.replace(params=g.params.replace(
+                xyz=g.params.xyz + bump)))
+            float(bump)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            bump = fn(g.replace(params=g.params.replace(
+                xyz=g.params.xyz + bump)))
+        float(bump)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"  {name:18s} {dt * 1e3:8.2f} ms", flush=True)
+        return dt
+
+    def time_full():
+        ts = ts0
+        for _ in range(args.warmup):
+            ts, m = step(ts, cam, gt, bg, 0, W, H)
+            float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            ts, m = step(ts, cam, gt, bg, 0, W, H)
+        float(m["loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"  {'full step':18s} {dt * 1e3:8.2f} ms", flush=True)
+        return ts, dt
+
+    print("cumulative prefixes:", flush=True)
+    t_pre = time_prefix(p_preprocess, "preprocess")
+    t_bin = time_prefix(p_binning, "+binning")
+    t_pack = time_prefix(p_pack, "+pack/align")
+    t_fwd = time_prefix(p_blend_fwd, "+blend fwd")
+    t_loss = time_prefix(p_fwd_loss, "+loss tail")
+    t_bwd = time_prefix(p_grads, "+backward")
+    ts_run, t_full = time_full()
+
+    stages = {
+        "preprocess": t_pre,
+        "binning": t_bin - t_pre,
+        "pack_align": t_pack - t_bin,
+        "blend_fwd": t_fwd - t_pack,
+        "loss_tail": t_loss - t_fwd,
+        "backward": t_bwd - t_loss,
+        "adam_stats": t_full - t_bwd,
+        "full": t_full,
+    }
+    print(json.dumps({k: round(v * 1e3, 2) for k, v in stages.items()}))
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            ts = ts_run
+            for _ in range(3):
+                ts, m = step(ts, cam, gt, bg, 0, W, H)
+            float(m["loss"])
+        print(f"trace written to {args.trace}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
