@@ -54,28 +54,75 @@ def umeyama(src, dst, with_scale=True):
     return s, R, t
 
 
+MAX_POINT_NUMBER = int(4e6)  # registration.py:42
+
+
 def icp_point_to_point(src, dst, init=np.eye(4), max_iter=20, thresh=0.05,
-                       sample=200_000, seed=0):
-    """Simple point-to-point ICP refinement (registration.py:134-201 role)."""
-    rng = np.random.default_rng(seed)
-    if len(src) > sample:
-        src = src[rng.choice(len(src), sample, replace=False)]
-    if len(dst) > sample:
-        dst = dst[rng.choice(len(dst), sample, replace=False)]
+                       with_scale=True):
+    """Point-to-point ICP (the role of open3d registration_icp with
+    TransformationEstimationPointToPoint(with_scaling=True),
+    registration.py:158-201). Convergence mirrors ICPConvergenceCriteria
+    (relative fitness/rmse 1e-6)."""
     tree = cKDTree(dst)
     T = init.copy()
+    prev_rmse = None
     for _ in range(max_iter):
         cur = src @ T[:3, :3].T + T[:3, 3]
-        d, idx = tree.query(cur, workers=-1)
-        ok = d < thresh
+        d, idx = tree.query(cur, workers=-1, distance_upper_bound=thresh)
+        ok = np.isfinite(d)
         if ok.sum() < 10:
             break
-        _, R, t = umeyama(cur[ok], dst[idx[ok]], with_scale=False)
+        s, R, t = umeyama(cur[ok], dst[idx[ok]], with_scale=with_scale)
         dT = np.eye(4)
-        dT[:3, :3], dT[:3, 3] = R, t
+        dT[:3, :3], dT[:3, 3] = s * R, t
         T = dT @ T
-        if np.abs(dT - np.eye(4)).max() < 1e-7:
+        rmse = float(np.sqrt((d[ok] ** 2).mean()))
+        if prev_rmse is not None and abs(prev_rmse - rmse) < 1e-6 * max(prev_rmse, 1e-12):
             break
+        prev_rmse = rmse
+    return T
+
+
+def uniform_downsample(points, max_points=MAX_POINT_NUMBER):
+    """open3d uniform_down_sample equivalent (registration.py:126-131):
+    every k-th point with k = round(n / max)."""
+    n = len(points)
+    if n <= max_points:
+        return points
+    k = int(round(n / float(max_points)))
+    return points[::k]
+
+
+def registration_two_stage(est, gt, init_T, crop_json, dTau):
+    """The official three-call refinement (eval_tnt/run.py:158-162):
+
+      r2 = vol-downsampled ICP  (voxel dTau,   threshold dTau*80, 20 iters)
+      r3 = vol-downsampled ICP  (voxel dTau/2, threshold dTau*20, 20 iters)
+      r  = uniform-downsampled ICP (threshold 2*dTau, 20 iters)
+
+    Each stage crops both clouds to the scene volume first
+    (registration.py:115-132). Returns the refinement transform to apply
+    after ``init_T``.
+    """
+    def cropped(pts, T=None):
+        p = pts if T is None else pts @ T[:3, :3].T + T[:3, 3]
+        return crop_polygon_volume(p, crop_json) if crop_json else p
+
+    gt_vox1 = voxel_downsample(cropped(gt), dTau)
+    gt_vox2 = voxel_downsample(cropped(gt), dTau / 2.0)
+    gt_unif = uniform_downsample(cropped(gt))
+
+    T = np.eye(4)
+
+    # stage 1: coarse voxel ICP
+    s = voxel_downsample(cropped(est, init_T), dTau)
+    T = icp_point_to_point(s, gt_vox1, max_iter=20, thresh=dTau * 80) @ T
+    # stage 2: fine voxel ICP
+    s = voxel_downsample(cropped(est, T @ init_T), dTau / 2.0)
+    T = icp_point_to_point(s, gt_vox2, max_iter=20, thresh=dTau * 20) @ T
+    # stage 3: uniform-downsample ICP
+    s = uniform_downsample(cropped(est, T @ init_T))
+    T = icp_point_to_point(s, gt_unif, max_iter=20, thresh=2 * dTau) @ T
     return T
 
 
@@ -123,14 +170,20 @@ def voxel_downsample(points, voxel):
     return sums / counts[:, None]
 
 
-def evaluate_histo(est, gt, tau):
-    """EvaluateHisto core (evaluation.py:60-171): precision/recall/F at tau
-    plus distance quantiles."""
+def evaluate_histo(est, gt, tau, plot_stretch=5):
+    """EvaluateHisto core (evaluation.py:60-216): precision/recall/F at tau,
+    distance quantiles, and the cumulative precision/recall histogram curves
+    (get_f1_score_histo2: bins = arange(0, tau*plot_stretch, tau/100))."""
     d_e2g, _ = cKDTree(gt).query(est, workers=-1)
     d_g2e, _ = cKDTree(est).query(gt, workers=-1)
     precision = float((d_e2g < tau).mean())
     recall = float((d_g2e < tau).mean())
     fscore = 2 * precision * recall / max(precision + recall, 1e-12)
+    bins = np.arange(0, tau * plot_stretch, tau / 100)
+    hist_s, edges_source = np.histogram(d_e2g, bins)
+    cum_source = np.cumsum(hist_s).astype(float) / len(d_e2g)
+    hist_t, edges_target = np.histogram(d_g2e, bins)
+    cum_target = np.cumsum(hist_t).astype(float) / len(d_g2e)
     return {
         "precision": precision,
         "recall": recall,
@@ -139,32 +192,78 @@ def evaluate_histo(est, gt, tau):
         "mean_g2e": float(d_g2e.mean()),
         "median_e2g": float(np.median(d_e2g)),
         "median_g2e": float(np.median(d_g2e)),
+        "edges_source": edges_source,
+        "cum_source": cum_source,
+        "edges_target": edges_target,
+        "cum_target": cum_target,
     }
 
 
+def plot_pr_curves(scene, result, out_dir, plot_stretch=5):
+    """PR-curve figure matching eval_tnt/plot.py:40-107 (precision red,
+    recall blue, tau dashed)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    tau = result["tau"]
+    f = plt.figure()
+    ax = plt.subplot(111)
+    ax.plot(result["edges_source"][1:], result["cum_source"] * 100, c="red",
+            label="precision", linewidth=2.0)
+    ax.plot(result["edges_target"][1:], result["cum_target"] * 100, c="blue",
+            label="recall", linewidth=2.0)
+    ax.grid(True)
+    plt.title(f"Precision and Recall: {scene}, {result['f1'] * 100:02.2f} f-score")
+    plt.axvline(x=tau, c="black", ls="dashed", linewidth=2.0)
+    plt.ylabel("# of points (%)", fontsize=15)
+    plt.xlabel("Meters", fontsize=15)
+    plt.axis([0, tau * plot_stretch, 0, 100])
+    ax.legend(loc="lower right")
+    name = os.path.join(out_dir, "PR_{0}_@d_th_0_{1}.png".format(scene, "%04d" % (tau * 10000)))
+    f.savefig(name, format="png", bbox_inches="tight")
+    plt.close(f)
+    return name
+
+
 def evaluate_tnt(scene_name, est_points, gt_points, est_traj=None, gt_traj=None,
-                 crop_json=None, tau=None, dTau_voxel=None, icp_refine=True,
-                 out_dir=None):
-    """Full protocol (eval_tnt/run.py:58-120): align (trajectory Umeyama +
-    ICP), crop, voxel-downsample at tau, EvaluateHisto."""
+                 crop_json=None, tau=None, icp_refine=True, out_dir=None,
+                 plot_stretch=5):
+    """Full protocol (eval_tnt/run.py:58-192): trajectory alignment, the
+    official three-stage ICP refinement (coarse voxel -> fine voxel ->
+    uniform, run.py:158-162), crop, voxel-downsample both clouds at tau/2
+    (run.py:181), EvaluateHisto at tau with cumulative PR curves + plots."""
     tau = tau if tau is not None else SCENE_TAU.get(scene_name, 0.01)
-    voxel = dTau_voxel if dTau_voxel is not None else tau
 
     T = np.eye(4)
     if est_traj is not None and gt_traj is not None:
         T = align_trajectories(est_traj, gt_traj)
-    est = est_points @ T[:3, :3].T + T[:3, 3]
     if icp_refine:
-        T2 = icp_point_to_point(est, gt_points, thresh=tau * 20)
-        est = est @ T2[:3, :3].T + T2[:3, 3]
+        T = registration_two_stage(est_points, gt_points, T, crop_json, tau) @ T
+    est = est_points @ T[:3, :3].T + T[:3, 3]
     if crop_json is not None:
         est = crop_polygon_volume(est, crop_json)
         gt_points = crop_polygon_volume(gt_points, crop_json)
-    est = voxel_downsample(est, voxel)
-    gt_d = voxel_downsample(gt_points, voxel)
-    result = {"scene": scene_name, "tau": tau, **evaluate_histo(est, gt_d, tau)}
+    # EvaluateHisto downsamples BOTH clouds at tau/2 (run.py:181)
+    est = voxel_downsample(est, tau / 2.0)
+    gt_d = voxel_downsample(gt_points, tau / 2.0)
+    histo = evaluate_histo(est, gt_d, tau, plot_stretch)
+    result = {"scene": scene_name, "tau": tau, **histo}
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
+        # the reference's txt dumps (evaluation.py:155-160)
+        np.savetxt(os.path.join(out_dir, f"{scene_name}.recall.txt"), histo["cum_target"])
+        np.savetxt(os.path.join(out_dir, f"{scene_name}.precision.txt"), histo["cum_source"])
+        np.savetxt(
+            os.path.join(out_dir, f"{scene_name}.prf_tau_plotstr.txt"),
+            np.array([histo["precision"], histo["recall"], histo["f1"], tau, plot_stretch]),
+        )
+        try:
+            plot_pr_curves(scene_name, result, out_dir, plot_stretch)
+        except Exception as e:  # matplotlib optional
+            print(f"[eval_tnt] PR plot skipped: {e}")
+        scalars = {k: v for k, v in result.items() if not isinstance(v, np.ndarray)}
         with open(os.path.join(out_dir, f"{scene_name}_results.json"), "w") as f:
-            json.dump(result, f, indent=2)
+            json.dump(scalars, f, indent=2)
     return result

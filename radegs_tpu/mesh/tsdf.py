@@ -58,9 +58,34 @@ def render_depth_maps(state, views, kernel_size, bg, max_per_tile=1024,
     return out
 
 
+def _backproject_all(depth_maps, stride=1):
+    """World-space surface points from every valid depth pixel."""
+    pts = []
+    for depth, E, K in depth_maps:
+        d = depth[::stride, ::stride]
+        ys, xs = np.nonzero(d > 0)
+        if len(ys) == 0:
+            continue
+        dd = d[ys, xs]
+        x = (xs * stride + 0.5 - K[0, 2]) / K[0, 0] * dd
+        y = (ys * stride + 0.5 - K[1, 2]) / K[1, 1] * dd
+        pc = np.stack([x, y, dd], -1)
+        pts.append((pc - E[:3, 3][None]) @ E[:3, :3])
+    return np.concatenate(pts, 0) if pts else np.zeros((0, 3))
+
+
 def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
-              bounds=None, slab=32, max_resolution=768):
-    """Integrate depth maps into a dense TSDF grid.
+              bounds=None, block=16, max_resolution=768, block_chunk=256):
+    """Integrate depth maps into a BLOCK-SPARSE TSDF grid.
+
+    Samples only 16^3-voxel blocks within one block of a back-projected
+    surface point (the o3d VoxelBlockGrid allocation strategy the reference
+    uses, mesh_extract.py:66-101). The extracted mesh is identical to dense
+    fusion: a surface (sign-change) cube needs a negative sample, i.e. a
+    voxel within `trunc` BEHIND some view's surface — always inside the
+    marked blocks — while the untouched far field has weight 0 and is
+    excluded by tsdf_to_mesh's validity mask either way. Versus dense
+    sampling this cuts the gather-bound sampling work ~10-40x.
 
     Returns (tsdf (Z,Y,X), weight (Z,Y,X), origin (3,), voxel_size).
     """
@@ -68,28 +93,13 @@ def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
     import jax.numpy as jnp
 
     trunc = trunc_multiplier * voxel_size
+    surf_pts = _backproject_all(depth_maps)
     if bounds is None:
-        lo = np.full(3, np.inf)
-        hi = np.full(3, -np.inf)
-        for depth, E, K in depth_maps:
-            H, W = depth.shape
-            ys, xs = np.nonzero(depth > 0)
-            if len(ys) == 0:
-                continue
-            d = depth[ys, xs]
-            # subsample for speed
-            if len(d) > 50_000:
-                sel = np.random.default_rng(0).choice(len(d), 50_000, replace=False)
-                ys, xs, d = ys[sel], xs[sel], d[sel]
-            x = (xs + 0.5 - K[0, 2]) / K[0, 0] * d
-            y = (ys + 0.5 - K[1, 2]) / K[1, 1] * d
-            pts_cam = np.stack([x, y, d], -1)
-            # p_cam = R p_w + t  ->  p_w = R^T (p_cam - t)
-            pts_w = (pts_cam - E[:3, 3][None]) @ E[:3, :3]
-            lo = np.minimum(lo, pts_w.min(0))
-            hi = np.maximum(hi, pts_w.max(0))
-        lo -= 4 * trunc
-        hi += 4 * trunc
+        if len(surf_pts) == 0:
+            return (np.zeros((1, 1, 1), np.float32), np.zeros((1, 1, 1), np.float32),
+                    np.zeros(3, np.float32), voxel_size)
+        lo = surf_pts.min(0) - 4 * trunc
+        hi = surf_pts.max(0) + 4 * trunc
         bounds = (lo, hi)
     lo, hi = bounds
     dims = np.ceil((hi - lo) / voxel_size).astype(np.int64) + 1
@@ -101,20 +111,39 @@ def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
         dims = np.ceil((hi - lo) / voxel_size).astype(np.int64) + 1
         print(f"[tsdf] grid capped to {dims} (voxel -> {voxel_size:.5f})")
     X, Y, Z = int(dims[0]), int(dims[1]), int(dims[2])
+    # block grid (padded up so edge blocks are full)
+    BX, BY, BZ = [-(-v // block) for v in (X, Y, Z)]
+
+    # --- active blocks: each surface point's block + its 26 neighbors
+    # (one-block dilation >= trunc + interpolation margin) ---
+    bid = np.floor((surf_pts - lo[None]) / (block * voxel_size)).astype(np.int64)
+    bid = np.unique(
+        np.clip(bid[:, 0], 0, BX - 1)
+        + np.clip(bid[:, 1], 0, BY - 1) * BX
+        + np.clip(bid[:, 2], 0, BZ - 1) * BX * BY
+    )
+    bx, by, bz = bid % BX, (bid // BX) % BY, bid // (BX * BY)
+    offs = np.array([(dx, dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+                     for dx in (-1, 0, 1)], np.int64)
+    nb = np.stack([bx, by, bz], -1)[:, None, :] + offs[None]
+    ok = (nb >= 0).all(-1) & (nb[..., 0] < BX) & (nb[..., 1] < BY) & (nb[..., 2] < BZ)
+    nb = nb[ok]
+    active = np.unique(nb[:, 0] + nb[:, 1] * BX + nb[:, 2] * BX * BY)
+    NB = len(active)
 
     Es = jnp.asarray(np.stack([E for _, E, _ in depth_maps]))
     Ks = jnp.asarray(np.stack([K for _, _, K in depth_maps]))
     Ds = jnp.asarray(np.stack([d for d, _, _ in depth_maps]))
     H, W = depth_maps[0][0].shape
 
+    # block-local voxel offsets (block^3, 3) in xyz order
+    zz, yy, xx = np.meshgrid(np.arange(block), np.arange(block), np.arange(block),
+                             indexing="ij")
+    local = np.stack([xx, yy, zz], -1).reshape(-1, 3).astype(np.float32) * voxel_size
+
     @jax.jit
-    def slab_tsdf(z0_world, Es, Ks, Ds):
-        zs = z0_world + jnp.arange(slab) * voxel_size
-        gx = lo[0] + jnp.arange(X) * voxel_size
-        gy = lo[1] + jnp.arange(Y) * voxel_size
-        pts = jnp.stack(
-            jnp.meshgrid(zs, gy, gx, indexing="ij")[::-1], axis=-1
-        )  # (slab,Y,X,3) xyz
+    def sample_blocks(origins, Es, Ks, Ds):
+        pts = origins[:, None, :] + jnp.asarray(local)[None]  # (nb, b^3, 3)
 
         def per_view(E, K, D):
             pc = pts @ E[:3, :3].T + E[:3, 3]
@@ -134,14 +163,25 @@ def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
         s = jnp.sum(sdfs, axis=0) / jnp.maximum(w, 1.0)
         return s, w
 
-    tsdf = np.empty((Z, Y, X), np.float32)
-    weight = np.empty((Z, Y, X), np.float32)
-    for z0 in range(0, Z, slab):
-        s, w = slab_tsdf(lo[2] + z0 * voxel_size, Es, Ks, Ds)
-        n = min(slab, Z - z0)
-        tsdf[z0 : z0 + n] = np.asarray(s)[:n]
-        weight[z0 : z0 + n] = np.asarray(w)[:n]
-    return tsdf, weight, np.asarray(lo, np.float32), voxel_size
+    tsdf = np.zeros((BZ * block, BY * block, BX * block), np.float32)
+    weight = np.zeros_like(tsdf)
+    abx, aby, abz = active % BX, (active // BX) % BY, active // (BX * BY)
+    for c0 in range(0, NB, block_chunk):
+        sel = slice(c0, min(c0 + block_chunk, NB))
+        n_sel = sel.stop - sel.start
+        orig = np.stack([abx[sel], aby[sel], abz[sel]], -1).astype(np.float32)
+        orig = lo[None] + orig * (block * voxel_size)
+        if n_sel < block_chunk:  # pad to the static shape
+            orig = np.concatenate(
+                [orig, np.zeros((block_chunk - n_sel, 3), np.float32)], 0)
+        s, w = sample_blocks(jnp.asarray(orig), Es, Ks, Ds)
+        s = np.asarray(s).reshape(block_chunk, block, block, block)
+        w = np.asarray(w).reshape(block_chunk, block, block, block)
+        for k in range(n_sel):
+            z0, y0, x0 = int(abz[sel][k]) * block, int(aby[sel][k]) * block, int(abx[sel][k]) * block
+            tsdf[z0:z0 + block, y0:y0 + block, x0:x0 + block] = s[k]
+            weight[z0:z0 + block, y0:y0 + block, x0:x0 + block] = w[k]
+    return tsdf[:Z, :Y, :X], weight[:Z, :Y, :X], np.asarray(lo, np.float32), voxel_size
 
 
 def tsdf_to_mesh(tsdf, weight, origin, voxel_size, min_weight=1.0):

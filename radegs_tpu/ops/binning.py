@@ -15,10 +15,25 @@ radix-sort 64-bit keys") is re-cast as:
    where depth_rank comes from a single global depth argsort — equivalent
    to the reference's 64-bit [tile | float-bits(depth)] radix key
    (rasterizer_impl.cu:102-107) but without 64-bit keys.
-3. ``ranges``: per-tile [start, count) via searchsorted — identifyTileRanges
-   (rasterizer_impl.cu:151-173).
+3. ``ranges``: per-tile [start, count) via histogram + cumsum —
+   identifyTileRanges (rasterizer_impl.cu:151-173).
 4. ``gather``: a [T, K] per-tile index matrix (front-to-back order, -1 pad)
-   for renderers that prefer rectangular layouts.
+   for renderers that prefer rectangular layouts (XLA-scan path only;
+   skipped for the Pallas path via ``need_tile_gauss=False``).
+
+Beyond the reference's 3-sigma-circle AABB (forward.cu:399-403), when the
+2D conic + opacity are provided the binning applies two exact work cuts
+(the blend kernel skips contributors with alpha < 1/255, so any tile whose
+best pixel is below that threshold renders identically without them):
+
+- **opacity-aware ellipse AABB**: the alpha >= 1/255 level set
+  Q(d) <= tau, tau = 2 ln(255 op), has axis extents sqrt(tau * cov_kk);
+  intersected with the reference's 3-sigma radius this shrinks the rect of
+  every anisotropic or low-opacity splat (most of them, after opacity
+  resets).
+- **exact per-tile test**: within the rect, a tile is kept only if
+  min_{d in tile} Q(d) <= tau (convex quadratic over a rectangle: the
+  minimum is at the center projection or on one of the 4 edges).
 
 Overflow policy ("no silent caps"): if the true instance count exceeds B,
 the trailing instances (of the *largest-area* Gaussians' last tiles) are
@@ -34,6 +49,7 @@ import jax
 import jax.numpy as jnp
 
 TILE = 16
+ALPHA_EPS = 1.0 / 255.0
 
 
 class TileBinning(NamedTuple):
@@ -42,28 +58,68 @@ class TileBinning(NamedTuple):
     tile_id: Any  # (B,) int32, num_tiles for unused slots
     tile_start: Any  # (T,) int32 first instance of each tile
     tile_count: Any  # (T,) int32 instances per tile
-    # rectangular per-tile layout:
+    # rectangular per-tile layout (None when need_tile_gauss=False):
     tile_gauss: Any  # (T, K) int32 gaussian ids front-to-back, -1 padded
-    n_instances: Any  # () int32 — true duplicate count (pre-clamp)
+    n_instances: Any  # () int32 — true duplicate count (pre-clamp, pre-cull)
     n_overflow: Any  # () int32 — instances dropped by the B budget
     tile_overflow: Any  # () int32 — instances dropped by the K cap
     max_tile_count: Any  # () int32
+    # permutation metadata for instance->gaussian gradient reduction:
+    sorted_orig: Any  # (B,) int32 expand slot of each sorted instance
+    expand_offsets: Any  # (P,) int32 expand-run start per gaussian (<= B)
+    n_culled: Any  # () int32 — instances removed by the exact tile test
 
 
 def tile_grid(width: int, height: int, tile: int = TILE):
     return (width + tile - 1) // tile, (height + tile - 1) // tile
 
 
-def gaussian_rects(xy, radius, tiles_x: int, tiles_y: int, tile: int = TILE):
+def gaussian_rects(xy, radius, tiles_x: int, tiles_y: int, tile: int = TILE,
+                   extent_x=None, extent_y=None):
     """Per-Gaussian tile rect [min, max) and touched-count (auxiliary.h:62-72,
-    forward.cu:399-403)."""
-    rx_min = jnp.clip(jnp.floor((xy[:, 0] - radius) / tile), 0, tiles_x).astype(jnp.int32)
-    ry_min = jnp.clip(jnp.floor((xy[:, 1] - radius) / tile), 0, tiles_y).astype(jnp.int32)
-    rx_max = jnp.clip(jnp.floor((xy[:, 0] + radius + tile - 1) / tile), 0, tiles_x).astype(jnp.int32)
-    ry_max = jnp.clip(jnp.floor((xy[:, 1] + radius + tile - 1) / tile), 0, tiles_y).astype(jnp.int32)
+    forward.cu:399-403). ``extent_x/y`` override the circular radius with
+    per-axis ellipse extents (already min'd with radius by the caller)."""
+    ex = radius if extent_x is None else extent_x
+    ey = radius if extent_y is None else extent_y
+    rx_min = jnp.clip(jnp.floor((xy[:, 0] - ex) / tile), 0, tiles_x).astype(jnp.int32)
+    ry_min = jnp.clip(jnp.floor((xy[:, 1] - ey) / tile), 0, tiles_y).astype(jnp.int32)
+    # exclusive max = tile of the last covered coordinate + 1. (NOT the
+    # reference's (x + r + tile-1)/tile trick — that assumes integer radii
+    # and under-covers by one tile when (x + extent) mod tile < 1.)
+    rx_max = jnp.clip(jnp.floor((xy[:, 0] + ex) / tile) + 1, 0, tiles_x).astype(jnp.int32)
+    ry_max = jnp.clip(jnp.floor((xy[:, 1] + ey) / tile) + 1, 0, tiles_y).astype(jnp.int32)
     w = jnp.maximum(rx_max - rx_min, 0)
     h = jnp.maximum(ry_max - ry_min, 0)
     return rx_min, ry_min, w, h, w * h
+
+
+def _q_min_over_rect(cx, cy, a, b, c, x0, x1, y0, y1):
+    """min over [x0,x1]x[y0,y1] of Q(d) = a dx^2 + 2 b dx dy + c dy^2 with
+    d = p - (cx, cy). Convex (conic is PD after the Mip 2D filter), so the
+    min is 0 if the center is inside, else on one of the 4 edges where the
+    1D minimizer has a closed form."""
+    dx0, dx1 = x0 - cx, x1 - cx
+    dy0, dy1 = y0 - cy, y1 - cy
+    a_s = jnp.maximum(a, 1e-12)
+    c_s = jnp.maximum(c, 1e-12)
+
+    def q(dx, dy):
+        return a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
+
+    def edge_x(dxe):  # dx fixed at an x-edge, minimize over dy
+        dy = jnp.clip(-b * dxe / c_s, dy0, dy1)
+        return q(dxe, dy)
+
+    def edge_y(dye):
+        dx = jnp.clip(-b * dye / a_s, dx0, dx1)
+        return q(dx, dye)
+
+    qmin = jnp.minimum(
+        jnp.minimum(edge_x(dx0), edge_x(dx1)),
+        jnp.minimum(edge_y(dy0), edge_y(dy1)),
+    )
+    inside = (dx0 <= 0) & (dx1 >= 0) & (dy0 <= 0) & (dy1 >= 0)
+    return jnp.where(inside, 0.0, qmin)
 
 
 def bin_gaussians(
@@ -76,6 +132,9 @@ def bin_gaussians(
     instance_budget: int,
     max_per_tile: int,
     tile: int = TILE,
+    conic=None,
+    opacity=None,
+    need_tile_gauss: bool = True,
 ) -> TileBinning:
     """Build the tile work lists. All shapes static; jit/vmap/shard-friendly.
 
@@ -83,13 +142,33 @@ def bin_gaussians(
       xy, radius, depth, valid: (P,) preprocess outputs.
       instance_budget: B — static cap on total (gaussian, tile) pairs.
       max_per_tile: K — static cap on Gaussians per tile.
+      conic, opacity: optional (P,3)/(P,) — enable the opacity-aware ellipse
+        AABB and the exact per-tile cull (see module docstring). Exact:
+        culled (gaussian, tile) pairs contribute alpha < 1/255 everywhere in
+        the tile, which the blend kernels skip anyway.
+      need_tile_gauss: build the rectangular (T, K) layout (XLA-scan path);
+        the Pallas path reads the flat layout only.
     """
     P = xy.shape[0]
     tiles_x, tiles_y = tile_grid(width, height, tile)
     num_tiles = tiles_x * tiles_y
     B = instance_budget
 
-    rx_min, ry_min, w, h, touched = gaussian_rects(xy, radius, tiles_x, tiles_y, tile)
+    precise = conic is not None and opacity is not None
+    if precise:
+        op = opacity[:, 0] if opacity.ndim == 2 else opacity
+        tau = 2.0 * jnp.log(jnp.maximum(op, 1e-12) / ALPHA_EPS)
+        tau = jnp.maximum(tau, 0.0)  # op <= 1/255 -> empty level set
+        a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
+        det = jnp.maximum(a * c - b * b, 1e-24)
+        # cov = conic^-1: cov00 = c/det, cov11 = a/det
+        ex = jnp.minimum(jnp.sqrt(tau * c / det), radius)
+        ey = jnp.minimum(jnp.sqrt(tau * a / det), radius)
+        rx_min, ry_min, w, h, touched = gaussian_rects(
+            xy, radius, tiles_x, tiles_y, tile, extent_x=ex, extent_y=ey
+        )
+    else:
+        rx_min, ry_min, w, h, touched = gaussian_rects(xy, radius, tiles_x, tiles_y, tile)
     alive = valid & (radius > 0) & (touched > 0)
     touched = jnp.where(alive, touched, 0)
 
@@ -135,9 +214,32 @@ def bin_gaussians(
     tx = slot[:, 3] + within - q * w_safe
     tid = jnp.where(slot_valid, ty * tiles_x + tx, num_tiles)
 
+    # --- exact per-tile cull (precise mode) ---
+    n_culled = jnp.zeros((), jnp.int32)
+    if precise:
+        packed_f = jnp.stack(
+            [xy[alive_ids, 0], xy[alive_ids, 1], a[alive_ids], b[alive_ids],
+             c[alive_ids], tau[alive_ids]],
+            axis=1,
+        )  # (P, 6) float row gather, same pattern as packed
+        slotf = packed_f[jnp.clip(owner, 0, P - 1)]  # (B, 6)
+        x0 = (tx * tile).astype(jnp.float32)
+        y0 = (ty * tile).astype(jnp.float32)
+        qmin = _q_min_over_rect(
+            slotf[:, 0], slotf[:, 1], slotf[:, 2], slotf[:, 3], slotf[:, 4],
+            x0, x0 + (tile - 1), y0, y0 + (tile - 1),
+        )
+        # tiny slack so borderline alpha ~ 1/255 contributors never flip
+        # between binning (f32 here) and the blend's own threshold test
+        keep = qmin <= slotf[:, 5] * (1.0 + 1e-5) + 1e-6
+        n_culled = jnp.sum((slot_valid & ~keep).astype(jnp.int32))
+        tid = jnp.where(keep, tid, num_tiles)
+
     # --- sort by (tile, depth-rank) --- (radix sort, rasterizer_impl.cu:376-381)
-    sort_rank = jnp.where(slot_valid, slot[:, 5], P)
-    tid_s, _, gid_s = jax.lax.sort((tid, sort_rank, gid), num_keys=2)
+    sort_rank = jnp.where(tid < num_tiles, slot[:, 5], P)
+    tid_s, _, gid_s, orig_s = jax.lax.sort(
+        (tid, sort_rank, gid, jnp.arange(B, dtype=jnp.int32)), num_keys=2
+    )
 
     # --- per-tile ranges --- (identifyTileRanges, rasterizer_impl.cu:151-173)
     # histogram + exclusive cumsum instead of searchsorted: XLA lowers
@@ -149,22 +251,25 @@ def bin_gaussians(
     tile_overflow = jnp.sum(tile_count_full - tile_count)
     max_tile_count = jnp.max(tile_count_full)
 
-    # --- rectangular [T, K] gather --- one lax.gather of contiguous
-    # K-slices (a vmapped dynamic_slice lowers to a while loop; an
-    # element-wise 2D gather takes the ~7ns/element slow path)
-    K = max_per_tile
-    gid_pad = jnp.concatenate([gid_s, jnp.full((K,), -1, jnp.int32)])
-    seg = jax.lax.gather(
-        gid_pad,
-        tile_start[:, None],
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
-        ),
-        slice_sizes=(K,),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # (T, K)
-    cols = jnp.arange(K, dtype=jnp.int32)
-    tile_gauss = jnp.where(cols[None, :] < tile_count[:, None], seg, -1)
+    if need_tile_gauss:
+        # --- rectangular [T, K] gather --- one lax.gather of contiguous
+        # K-slices (a vmapped dynamic_slice lowers to a while loop; an
+        # element-wise 2D gather takes the ~7ns/element slow path)
+        K = max_per_tile
+        gid_pad = jnp.concatenate([gid_s, jnp.full((K,), -1, jnp.int32)])
+        seg = jax.lax.gather(
+            gid_pad,
+            tile_start[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+            ),
+            slice_sizes=(K,),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (T, K)
+        cols = jnp.arange(K, dtype=jnp.int32)
+        tile_gauss = jnp.where(cols[None, :] < tile_count[:, None], seg, -1)
+    else:
+        tile_gauss = None
 
     return TileBinning(
         gauss_id=gid_s,
@@ -176,6 +281,9 @@ def bin_gaussians(
         n_overflow=n_overflow,
         tile_overflow=tile_overflow,
         max_tile_count=max_tile_count,
+        sorted_orig=orig_s,
+        expand_offsets=jnp.minimum(jnp.where(alive, offsets, B), B).astype(jnp.int32),
+        n_culled=n_culled,
     )
 
 

@@ -352,9 +352,17 @@ def integrate(points3d, prep: PreprocessOut, camera, bg,
     else:
         a_int, sdf = integrate_points(prep, binning, pts, mid, tiles_x, chunk=chunk,
                                       point_chunk=point_chunk)
+    # color_integrated: the point's pixel's final blended color C + T*bg
+    # (forward.cu:1354 — a pixel-color sample, not a per-point blend);
+    # one (HW,3) row gather instead of per-element fancy indexing
+    col_flat = out_color[0:3].reshape(3, H * W).T  # (HW, 3)
+    pix_idx = jnp.where(pts.valid, pts.pixel[:, 1] * W + pts.pixel[:, 0], 0)
+    color_integrated = jnp.where(pts.valid[:, None], col_flat[pix_idx], 0.0)
+
     return {
         "render": out_color,
         "alpha_integrated": a_int,
+        "color_integrated": color_integrated,
         "point_coordinate": pts.xy,
         "point_sdf": sdf,
         "point_valid": pts.valid,

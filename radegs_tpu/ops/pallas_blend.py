@@ -8,13 +8,22 @@ its tile's ``count`` instances from the depth-sorted flat instance list
 
 Layout decisions (see pallas_guide):
 - instance features are pre-gathered once in XLA into a (24, B) array —
-  feature rows on sublanes, instances on lanes — so each chunk DMA is a
-  contiguous (24, CH) slice, and HBM carries no lane padding.
+  feature rows on sublanes, instances on lanes — ONE (P,25) row gather +
+  transpose; B-sized scalar scatters/lane-gathers are the TPU slow paths.
+- the kernel reads each tile's run via 128-ALIGNED WINDOW DMAs directly
+  from the sorted array: the window [align_down(start), align_up(start +
+  count)) is streamed in CH-chunks and rows outside [start, start+count)
+  are masked in-kernel. No padded re-layout of the instance list exists
+  (an earlier design materialized a (24, B + T*CH) aligned copy; the
+  scatter+gather to build it cost more than the kernel itself).
 - all per-chunk compute is (CH, 256): CH instances on sublanes, the tile's
   16x16 pixels on lanes.
 - per-pixel sequential front-to-back blending is replaced by a log2(CH)-step
   shifted-multiply cumulative product of (1 - alpha) — exactly the math of
-  ops/blend_math, no transcendentals beyond the Gaussian exp itself.
+  ops/blend_math; cross-contributor reductions ride the MXU (see _mm).
+- the BACKWARD's per-instance gradient rows are written to a per-tile
+  chunk-aligned output layout (out_start) — output windows may not overlap
+  across sequential grid steps, unlike input reads.
 
 Outputs per tile: 17 channels x 256 px:
   [0:3] color, [3] weight, [4] dist, [5:8] coord, [8:11] normal,
@@ -36,13 +45,14 @@ ALPHA_EPS = 1.0 / 255.0
 T_EPS = 1e-4
 MAX_ALPHA = 0.99
 
-N_FEAT = 24
+N_FEAT = 32  # 24 attribute rows + gaussian id (row 24) + pad to 8-multiple
+# (DMA slice shapes must be sublane-aligned: 25 rows crashes Mosaic)
 N_OUT = 17
-# feature row indices in the packed (24, B) array
+# feature row indices in the packed (25, B) array
 FEAT_LAYOUT = dict(
     xy=(0, 2), conic=(2, 5), opacity=(5, 6), rgb=(6, 9), ts=(9, 10),
     ray_plane=(10, 12), view_point=(12, 15), camera_plane_x=(15, 18),
-    camera_plane_y=(18, 21), normal=(21, 24),
+    camera_plane_y=(18, 21), normal=(21, 24), gid=(24, 25),
 )
 
 
@@ -61,6 +71,50 @@ def pack_features(xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, 
         normal.T,          # 21:24
     ]
     return jnp.concatenate(rows, axis=0)
+
+
+def _pad_lanes(x, chunk: int):
+    """Pad the last dim up to a multiple of ``chunk`` so the final aligned
+    window DMA never reads out of bounds (a no-op for power-of-two budgets
+    >= chunk; only tiny test budgets actually pad)."""
+    B = x.shape[-1]
+    Bp = ((B + chunk - 1) // chunk) * chunk
+    if Bp == B:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Bp - B)])
+
+
+def sorted_features(binning: TileBinning, inputs):
+    """(25, B) features of the depth-sorted instance list: ONE (P,24) row
+    gather by gauss_id + transpose. (A lane-axis take along a (24, B) array
+    or a B-sized scatter both hit ~10x slower TPU paths.)
+
+    Row 24 carries the gaussian id as float (-1 for unused slots; exact for
+    id < 2^23): the backward kernel streams it through and re-emits it with
+    each gradient row, so the instance->gaussian reduction needs no
+    B-sized id gather at all."""
+    xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts = inputs
+    P = xy.shape[0]
+    op = opacity[:, 0] if opacity.ndim == 2 else opacity
+    rows = jnp.concatenate(
+        [
+            xy, conic, op[:, None], rgb, ts[:, None], ray_plane, view_point,
+            camera_plane[:, :, 0], camera_plane[:, :, 1], normal,
+        ],
+        axis=1,
+    )  # (P, 24)
+    gid = binning.gauss_id
+    feat = rows[jnp.clip(gid, 0, P - 1)]  # (B, 24)
+    # zero rows of unused slots (their opacity would otherwise be a real
+    # gaussian's — the kernels mask by count, this is defense in depth)
+    feat = jnp.where((gid >= 0)[:, None], feat, 0.0)
+    B = gid.shape[0]
+    feat = jnp.concatenate(
+        [feat, gid.astype(jnp.float32)[:, None],
+         jnp.zeros((B, N_FEAT - 25), jnp.float32)],
+        axis=1,
+    )
+    return feat.T  # (N_FEAT, B)
 
 
 def _shift_down(x, sh, fill):
@@ -89,6 +143,32 @@ def _cumor0(x, n: int):
     return f > 0.5
 
 
+def _mm(a, b, precision=jax.lax.Precision.HIGHEST):
+    """(k, CH) @ (CH, px) on the MXU. HIGHEST keeps f32 operands f32
+    (default TPU matmul precision truncates to bf16 — these products feed
+    rendered outputs and gradients, so the 6-pass f32 path is mandatory;
+    measured cost is negligible vs the VPU trees it replaces)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
+def _lower_tri(ch: int):
+    """(CH, CH) inclusive lower-triangular ones (f32)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
+    return (r >= c).astype(jnp.float32)
+
+
+def _cumor0_mxu(term_f, tri):
+    """Inclusive cumulative OR via one MXU matmul: counts of prior (or own)
+    terminators = L @ term_f; 0/1 operands and counts <= CH are exact even
+    in the default bf16 matmul path."""
+    counts = _mm(tri, term_f, precision=jax.lax.Precision.DEFAULT)
+    return counts > 0.5
+
+
 def _fwd_kernel(
     # scalar prefetch
     start_ref, count_ref,
@@ -108,16 +188,26 @@ def _fwd_kernel(
 
     tx = t % tiles_x
     ty = t // tiles_x
+    # TILE-LOCAL pixel coordinates: all per-pixel/per-contributor positions
+    # are shifted by the tile origin so the affine-basis matmul below does
+    # not cancel 1600-scale coordinates against 16-scale deltas
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, px), 1)
-    pix_x = (tx * tile + lane % tile).astype(jnp.float32)
-    pix_y = (ty * tile + lane // tile).astype(jnp.float32)
+    pix_x = (lane % tile).astype(jnp.float32)  # 0..tile-1
+    pix_y = (lane // tile).astype(jnp.float32)
+    ox = (tx * tile).astype(jnp.float32)
+    oy = (ty * tile).astype(jnp.float32)
     row = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
+    tri = _lower_tri(CH)
 
-    n_chunks = pl.cdiv(count, CH)
+    # 128-aligned WINDOW read of the sorted instance list: rows before
+    # ``head`` (previous tiles') and past head+count are masked in-kernel
+    start_al = (start // CH) * CH
+    head = start - start_al
+    count_w = head + count
+    n_chunks = jnp.where(count > 0, pl.cdiv(count_w, CH), 0)
 
     def dma(slot, ci):
-        # start is CH-aligned by construction (aligned_instance_layout)
-        off = pl.multiple_of(start + ci * CH, CH)
+        off = pl.multiple_of(start_al + ci * CH, CH)
         return pltpu.make_async_copy(
             feat_hbm.at[:, pl.ds(off, CH)],
             fbuf.at[slot],
@@ -149,14 +239,21 @@ def _fwd_kernel(
             dma(1 - slot, ci + 1).start()
 
         dma(slot, ci).wait()
-        ft = fbuf[slot].T  # (CH, 24)
+        f = fbuf[slot]  # (24, CH): feature ROWS, instance lanes
+        ft = f.T  # (CH, 24)
 
         def col(i):
             return ft[:, i][:, None]  # (CH, 1)
 
-        in_range = (ci * CH + row) < count  # (CH, 1)
-        dx = col(0) - pix_x  # (CH, px)
-        dy = col(1) - pix_y
+        def frow(i):
+            return f[i : i + 1, :]  # (1, CH)
+
+        idx = ci * CH + row  # (CH, 1) window-relative index
+        in_range = (idx >= head) & (idx < count_w)
+        xl = col(0) - ox  # tile-local gaussian center
+        yl = col(1) - oy
+        dx = xl - pix_x  # (CH, px) — same value as global-frame delta
+        dy = yl - pix_y
         ca, cb, cc = col(2), col(3), col(4)
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         falloff = jnp.exp(jnp.minimum(power, 0.0))
@@ -169,45 +266,65 @@ def _fwd_kernel(
         cum = _cumprod0(one_minus, CH)
         t_prefix = acc["t_cur"] * _shift_down(cum, 1, 1.0)
         terminate = (alpha > 0.0) & (t_prefix * one_minus < T_EPS)
-        killed = _cumor0(terminate, CH)
+        killed = _cumor0_mxu(jnp.where(terminate, 1.0, 0.0), tri)
         include = (alpha > 0.0) & ~killed & (acc["done"] < 0.5)
         w = jnp.where(include, alpha * t_prefix, 0.0)
 
-        t_ray = col(9) + col(10) * dx + col(11) * dy
-        cx = col(12) + col(15) * dx + col(18) * dy
-        cy = col(13) + col(16) * dx + col(19) * dy
-        cz = col(14) + col(17) * dx + col(20) * dy
+        # Every accumulated quantity is per-contributor-affine in the pixel
+        # position: t_ray = A_t - B_t px - C_t py (likewise the 3 coord
+        # channels), and rgb/normal/weight are per-contributor constants. So
+        # the 11 per-pixel reductions sum_i w_i x_i (forward.cu:596-611)
+        # collapse to ONE MXU matmul of a 19-row contributor basis against w
+        # (the VPU cross-sublane reduce trees were ~half this kernel's time):
+        xr, yr = frow(0) - ox, frow(1) - oy  # (1, CH) tile-local centers
+        a_t = frow(9) + frow(10) * xr + frow(11) * yr
+        a_cx = frow(12) + frow(15) * xr + frow(18) * yr
+        a_cy = frow(13) + frow(16) * xr + frow(19) * yr
+        a_cz = frow(14) + frow(17) * xr + frow(20) * yr
+        basis = jnp.concatenate(
+            [
+                frow(6), frow(7), frow(8),  # rgb
+                jnp.ones((1, CH), f32),  # weight
+                frow(21), frow(22), frow(23),  # normal
+                a_t, frow(10), frow(11),  # t_ray affine coefs
+                a_cx, frow(15), frow(18),
+                a_cy, frow(16), frow(19),
+                a_cz, frow(17), frow(20),
+            ],
+            axis=0,
+        )  # (19, CH)
+        R = _mm(basis, w)  # (19, px)
 
-        def red(v):
-            return jnp.sum(v, axis=0, keepdims=True)  # (1, px)
+        def affine(b, k):
+            return b[k : k + 1] - pix_x * b[k + 1 : k + 2] - pix_y * b[k + 2 : k + 3]
 
-        acc["c_r"] += red(w * col(6))
-        acc["c_g"] += red(w * col(7))
-        acc["c_b"] += red(w * col(8))
-        acc["wsum"] += red(w)
-        acc["dist"] += red(w * t_ray)
-        acc["x0"] += red(w * cx)
-        acc["x1"] += red(w * cy)
-        acc["x2"] += red(w * cz)
-        acc["n0"] += red(w * col(21))
-        acc["n1"] += red(w * col(22))
-        acc["n2"] += red(w * col(23))
+        acc["c_r"] += R[0:1]
+        acc["c_g"] += R[1:2]
+        acc["c_b"] += R[2:3]
+        acc["wsum"] += R[3:4]
+        acc["n0"] += R[4:5]
+        acc["n1"] += R[5:6]
+        acc["n2"] += R[6:7]
+        acc["dist"] += affine(R, 7)
+        acc["x0"] += affine(R, 10)
+        acc["x1"] += affine(R, 13)
+        acc["x2"] += affine(R, 16)
 
-        # median: last include-contributor with T > 0.5 (forward.cu:580,603)
-        pos = ci * CH + row  # (CH, 1)
+        # median: last include-contributor with T > 0.5 (forward.cu:580,603);
+        # the 4 picked values ride the same affine basis with the one-hot
+        # selector as weights
+        pos = idx - head  # contributor index within the tile's run
         med_mask = include & (t_prefix > 0.5)
         cand_pos = jnp.where(med_mask, pos + jnp.zeros_like(dx, jnp.int32), -1)
         chunk_med = jnp.max(cand_pos, axis=0, keepdims=True)  # (1, px)
         has = chunk_med >= 0
-        sel = med_mask & (cand_pos == chunk_med)
+        sel = jnp.where(med_mask & (cand_pos == chunk_med), 1.0, 0.0)
+        S = _mm(basis[7:], sel)  # (12, px)
 
-        def pick(v):
-            return jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
-
-        acc["med_t"] = jnp.where(has, pick(t_ray), acc["med_t"])
-        acc["m0"] = jnp.where(has, pick(cx), acc["m0"])
-        acc["m1"] = jnp.where(has, pick(cy), acc["m1"])
-        acc["m2"] = jnp.where(has, pick(cz), acc["m2"])
+        acc["med_t"] = jnp.where(has, affine(S, 0), acc["med_t"])
+        acc["m0"] = jnp.where(has, affine(S, 3), acc["m0"])
+        acc["m1"] = jnp.where(has, affine(S, 6), acc["m1"])
+        acc["m2"] = jnp.where(has, affine(S, 9), acc["m2"])
         acc["med_pos"] = jnp.where(has, chunk_med, acc["med_pos"])
 
         # T update without a second masked cumprod: the first terminator's
@@ -267,17 +384,12 @@ def blend_forward_pallas(
 ):
     """Forward blend via the Pallas kernel. Returns the same raw-accumulator
     dict as ops.rasterize._blend_forward_scan (channels-leading)."""
-    P = xy.shape[0]
     tiles_x, tiles_y = tile_grid(width, height, tile)
     T = tiles_x * tiles_y
     px = tile * tile
 
-    feat = pack_features(
-        xy, conic, opacity[:, 0] if opacity.ndim == 2 else opacity,
-        rgb, view_point, camera_plane, ray_plane, normal, ts,
-    )  # (24, P)
-    gid_aligned, astart = aligned_instance_layout(binning, T, chunk)
-    feat_sorted = jnp.take(feat, jnp.clip(gid_aligned, 0, P - 1), axis=1)  # (24, B_pad)
+    inputs = (xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts)
+    feat_sorted = _pad_lanes(sorted_features(binning, inputs), chunk)  # (24, B')
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -296,7 +408,7 @@ def blend_forward_pallas(
         out_shape=jax.ShapeDtypeStruct((T, N_OUT, px), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(astart, binning.tile_count, feat_sorted)
+    )(binning.tile_start, binning.tile_count, feat_sorted)
 
     return {
         "color_raw": out[:, 0:3].transpose(1, 0, 2),
@@ -338,11 +450,13 @@ N_AUX = 32
 
 def _bwd_kernel(
     # scalar prefetch
-    start_ref, count_ref,
+    start_ref, count_ref, ostart_ref,
     # inputs: packed instance features (HBM) + per-tile aux block (VMEM)
     feat_hbm,
     aux_ref,
-    # output: per-instance gradients (HBM, manual DMA)
+    # output: per-instance gradients (HBM, manual DMA), chunk-aligned
+    # per-tile output runs (ostart_ref) — output windows may NOT overlap
+    # across grid steps, unlike the input read windows
     grad_hbm,
     # scratch
     fbuf, obuf, fsems, osems,
@@ -351,26 +465,35 @@ def _bwd_kernel(
     t = pl.program_id(0)
     start = start_ref[t]
     count = count_ref[t]
+    ostart = ostart_ref[t]
     CH = chunk
     px = tile * tile
 
     tx_i = t % tiles_x
     ty_i = t // tiles_x
+    # tile-local coordinates (see _fwd_kernel): keeps the affine-basis
+    # matmuls cancellation-free
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, px), 1)
-    pix_x = (tx_i * tile + lane % tile).astype(jnp.float32)
-    pix_y = (ty_i * tile + lane // tile).astype(jnp.float32)
+    pix_x = (lane % tile).astype(jnp.float32)
+    pix_y = (lane // tile).astype(jnp.float32)
+    ox = (tx_i * tile).astype(jnp.float32)
+    oy = (ty_i * tile).astype(jnp.float32)
     row = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
+    tri = _lower_tri(CH)
 
-    n_chunks = pl.cdiv(count, CH)
+    start_al = (start // CH) * CH
+    head = start - start_al
+    count_w = head + count
+    n_chunks = jnp.where(count > 0, pl.cdiv(count_w, CH), 0)
 
     def fdma(slot, ci):
-        off = pl.multiple_of(start + ci * CH, CH)
+        off = pl.multiple_of(start_al + ci * CH, CH)
         return pltpu.make_async_copy(
             feat_hbm.at[:, pl.ds(off, CH)], fbuf.at[slot], fsems.at[slot]
         )
 
     def odma(slot, ci):
-        off = pl.multiple_of(start + ci * CH, CH)
+        off = pl.multiple_of(ostart + ci * CH, CH)
         return pltpu.make_async_copy(
             obuf.at[slot], grad_hbm.at[:, pl.ds(off, CH)], osems.at[slot]
         )
@@ -413,6 +536,18 @@ def _bwd_kernel(
     ).T  # (px, 16)
     GC0, GN0, GX0, GMX0, GD, GMT, ONE = 0, 3, 6, 9, 12, 13, 14
 
+    # per-pixel bank for the dL/dw matmul (constant across chunks): row k of
+    # this matches row k of the per-chunk contributor basis, so
+    # dL/dw = basis^T @ dw_bank (the direct-path sum backward.cu:737-762)
+    dw_bank = jnp.concatenate(
+        gc
+        + [gw]
+        + gn
+        + [gd, -pix_x * gd, -pix_y * gd]
+        + [v for k in range(3) for v in (gx[k], -pix_x * gx[k], -pix_y * gx[k])],
+        axis=0,
+    )  # (19, px)
+
     def body(ci, acc):
         slot = jax.lax.rem(ci, 2)
 
@@ -421,14 +556,21 @@ def _bwd_kernel(
             fdma(1 - slot, ci + 1).start()
 
         fdma(slot, ci).wait()
-        ft = fbuf[slot].T  # (CH, 24)
+        f = fbuf[slot]  # (24, CH)
+        ft = f.T  # (CH, 24)
 
         def col(i):
             return ft[:, i][:, None]
 
-        in_range = (ci * CH + row) < count
-        dx = col(0) - pix_x
-        dy = col(1) - pix_y
+        def frow(i):
+            return f[i : i + 1, :]  # (1, CH)
+
+        idx = ci * CH + row  # window-relative index
+        in_range = (idx >= head) & (idx < count_w)
+        xl = col(0) - ox
+        yl = col(1) - oy
+        dx = xl - pix_x
+        dy = yl - pix_y
         ca, cb, cc = col(2), col(3), col(4)
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         falloff = jnp.exp(jnp.minimum(power, 0.0))
@@ -441,28 +583,40 @@ def _bwd_kernel(
         cum = _cumprod0(one_minus, CH)
         t_prefix = acc["t_cur"] * _shift_down(cum, 1, 1.0)
         terminate = (alpha > 0.0) & (t_prefix * one_minus < T_EPS)
-        killed = _cumor0(terminate, CH)
+        killed = _cumor0_mxu(jnp.where(terminate, 1.0, 0.0), tri)
         include = (alpha > 0.0) & ~killed & (acc["done"] < 0.5)
         w = jnp.where(include, alpha * t_prefix, 0.0)
 
-        rgb_c = [col(6), col(7), col(8)]
-        n_c = [col(21), col(22), col(23)]
-        t_ray = col(9) + col(10) * dx + col(11) * dy
-        coord = [
-            col(12) + col(15) * dx + col(18) * dy,
-            col(13) + col(16) * dx + col(19) * dy,
-            col(14) + col(17) * dx + col(20) * dy,
-        ]
+        # dL/dw (the direct path, backward.cu:737-762): every term is
+        # (per-contributor coef) x (pixel-basis x cotangent), so the whole
+        # sum is ONE matmul of the 19-row affine basis against dw_bank
+        xr, yr = frow(0) - ox, frow(1) - oy
+        a_t = frow(9) + frow(10) * xr + frow(11) * yr
+        a_cx = frow(12) + frow(15) * xr + frow(18) * yr
+        a_cy = frow(13) + frow(16) * xr + frow(19) * yr
+        a_cz = frow(14) + frow(17) * xr + frow(20) * yr
+        basis = jnp.concatenate(
+            [
+                frow(6), frow(7), frow(8),
+                jnp.ones((1, CH), f32),
+                frow(21), frow(22), frow(23),
+                a_t, frow(10), frow(11),
+                a_cx, frow(15), frow(18),
+                a_cy, frow(16), frow(19),
+                a_cz, frow(17), frow(20),
+            ],
+            axis=0,
+        )  # (19, CH)
+        dL_dw = _mm(basis.T, dw_bank)  # (CH, px)
 
-        dL_dw = gw + gd * t_ray
-        for k in range(3):
-            dL_dw += gc[k] * rgb_c[k] + gn[k] * n_c[k] + gx[k] * coord[k]
-        pdot = acc["pre_dot"] + _cumsum0(w * dL_dw, CH)  # (CH, px)
+        # inclusive prefix of w*dL/dw via the triangular MXU matmul
+        # (replaces the 7-step shift-add tree)
+        pdot = acc["pre_dot"] + _mm(tri, w * dL_dw)  # (CH, px)
         suffix = (s_tot - pdot) + gtf * tf
         dL_dalpha = jnp.where(include, t_prefix * dL_dw - suffix / one_minus, 0.0)
 
         # median routing (backward.cu:909-936)
-        pos = (ci * CH + row) + jnp.zeros((CH, px), jnp.int32)
+        pos = (idx - head) + jnp.zeros((CH, px), jnp.int32)
         is_med = include & (pos == mp)
         is_med_f = jnp.where(is_med, 1.0, 0.0)
 
@@ -487,7 +641,7 @@ def _bwd_kernel(
             ],
             axis=0,
         )  # (14*CH, px)
-        R = jnp.dot(M, vbank, preferred_element_type=jnp.float32)  # (14*CH, 16)
+        R = _mm(M, vbank)  # (14*CH, 16); HIGHEST — these are the gradients
 
         def r(b, c):
             return R[b * CH : (b + 1) * CH, c : c + 1]  # (CH, 1)
@@ -516,8 +670,11 @@ def _bwd_kernel(
             out_t,
         ]
         gmat = jnp.concatenate(cols, axis=1)  # (CH, 25)
+        # row 25: the gaussian id (streamed through the feature pack) for
+        # the instance->gaussian reduction; -1 for masked window rows
+        gid_col = jnp.where(in_range, col(24), -1.0)
         gmat = jnp.concatenate(
-            [gmat, jnp.zeros((CH, N_GRAD_PAD - N_GRAD), f32)], axis=1
+            [gmat, gid_col, jnp.zeros((CH, N_GRAD_PAD - N_GRAD - 1), f32)], axis=1
         )
 
         oslot = jax.lax.rem(ci, 2)
@@ -565,17 +722,21 @@ def blend_backward_pallas(
     XLA scatter-add (replaces backward.cu:631-1016 + atomicAdd)."""
     xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts = inputs
     P = xy.shape[0]
+    B = binning.gauss_id.shape[0]
     tiles_x, tiles_y = tile_grid(width, height, tile)
     T = tiles_x * tiles_y
     px = tile * tile
 
-    feat = pack_features(
-        xy, conic, opacity[:, 0] if opacity.ndim == 2 else opacity,
-        rgb, view_point, camera_plane, ray_plane, normal, ts,
-    )
-    gid_aligned, astart = aligned_instance_layout(binning, T, chunk)
-    B_pad = gid_aligned.shape[0]
-    feat_sorted = jnp.take(feat, jnp.clip(gid_aligned, 0, P - 1), axis=1)
+    feat_sorted = _pad_lanes(sorted_features(binning, inputs), chunk)  # (24, B')
+
+    # per-tile chunk-aligned OUTPUT runs: tile t's window has
+    # cdiv(head + count, CH) chunks, head = start - align_down(start)
+    start = binning.tile_start
+    count = binning.tile_count
+    head = start - (start // chunk) * chunk
+    out_len = jnp.where(count > 0, (head + count + chunk - 1) // chunk, 0) * chunk
+    out_start = (jnp.cumsum(out_len) - out_len).astype(jnp.int32)
+    B_out = ((B + chunk - 1) // chunk) * chunk + T * chunk  # static bound
 
     # pack cotangents + forward totals into one (T, 32, px) aux block
     # (row layout documented above _bwd_kernel)
@@ -603,13 +764,13 @@ def blend_backward_pallas(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # feat
-            pl.BlockSpec((1, N_AUX, px), lambda t, s, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_AUX, px), lambda t, s, c, o: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # grad (32, B_pad)
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # grad (32, B_out)
         scratch_shapes=[
             pltpu.VMEM((2, N_FEAT, chunk), jnp.float32),
             pltpu.VMEM((2, N_GRAD_PAD, chunk), jnp.float32),
@@ -623,15 +784,23 @@ def blend_backward_pallas(
             _bwd_kernel, chunk=chunk, tiles_x=tiles_x, tile=tile,
             width=width, height=height,
         ),
-        out_shape=jax.ShapeDtypeStruct((N_GRAD_PAD, B_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N_GRAD_PAD, B_out), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(astart, binning.tile_count, feat_sorted, aux)
+    )(binning.tile_start, binning.tile_count, out_start, feat_sorted, aux)
 
-    # deterministic segment reduction: instance -> gaussian. Row-oriented:
-    # a lane-axis scatter-add (25, B)->(25, P) takes a ~27ms slow path; the
-    # row scatter-add (B, 25)->(P, 25) is ~3ms.
-    gid_safe = jnp.where(gid_aligned >= 0, gid_aligned, P)
+    # gaussian ids arrive as gradient row 25 (streamed through the feature
+    # pack — no B-sized id gather). Rows past the total written length are
+    # never written by any tile (garbage): mask them by q >= total.
+    total = jnp.sum(out_len)
+    q = jnp.arange(B_out, dtype=jnp.int32)
+    gid_q = grad_inst[N_GRAD].astype(jnp.int32)
+
+    # deterministic segment reduction: instance -> gaussian (row-oriented
+    # scatter-add; the lane-oriented variant is ~10x slower)
+    gid_safe = jnp.where(
+        (q < total) & (gid_q >= 0) & (gid_q < P), gid_q, P
+    )
     acc = (
         jnp.zeros((P + 1, N_GRAD), jnp.float32)
         .at[gid_safe].add(grad_inst[:N_GRAD].T)[:P]

@@ -182,7 +182,7 @@ def bin_points_aligned(pts: PointProjection, num_tiles: int, chunk: int = 128):
     fake = TileBinning(
         gauss_id=pid_s, tile_id=order_key, tile_start=tile_start, tile_count=hist,
         tile_gauss=None, n_instances=None, n_overflow=None, tile_overflow=None,
-        max_tile_count=None,
+        max_tile_count=None, sorted_orig=None, expand_offsets=None, n_culled=None,
     )
     pid_aligned, astart = aligned_instance_layout(fake, num_tiles, chunk)
     return pid_aligned, astart, hist

@@ -482,6 +482,9 @@ def rasterize(
     chunk: int = 8,
     xy_abs=None,
     backend: str | None = None,
+    render_width: int | None = None,
+    render_height: int | None = None,
+    band_row0: int = 0,
 ):
     """Full rasterization: binning + blending + output normalization.
 
@@ -493,11 +496,19 @@ def rasterize(
 
     ``backend``: "xla" | "pallas" | "pallas_interpret"; None = auto
     ("pallas" on TPU, "xla" elsewhere).
+
+    ``render_width/render_height/band_row0``: render only a horizontal BAND
+    of the image (parallel/step.py tile-band sharding). prep.xy must already
+    be shifted into band-local pixels (y - band_row0); the camera keeps the
+    FULL image geometry (focal lengths, principal point), and the
+    distance->depth divisor ln uses global pixel rows (band_row0 + local).
     """
     if backend is None:
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     cfg = RasterCfg(
-        width=camera.width, height=camera.height, tile=tile, chunk=chunk, backend=backend
+        width=render_width or camera.width,
+        height=render_height or camera.height,
+        tile=tile, chunk=chunk, backend=backend,
     )
     if binning is None:
         if instance_budget is None:
@@ -512,6 +523,11 @@ def rasterize(
             instance_budget=instance_budget,
             max_per_tile=max_per_tile,
             tile=tile,
+            conic=jax.lax.stop_gradient(prep.conic),
+            opacity=jax.lax.stop_gradient(
+                jnp.where(prep.valid, prep.opacity, 0.0)
+            ),
+            need_tile_gauss=(backend == "xla"),
         )
     if xy_abs is None:
         xy_abs = jnp.zeros_like(prep.xy)
@@ -534,8 +550,10 @@ def rasterize(
     # ---- output normalization (plain jnp: autodiff replaces backward.cu:737-779)
     pix_x, pix_y = _tile_pixel_coords(cfg)
     fx, fy = camera.focal_x, camera.focal_y
-    pnx = (pix_x - cfg.width / 2.0) / fx
-    pny = (pix_y - cfg.height / 2.0) / fy
+    # ln uses GLOBAL image geometry (W/2-centered, forward.cu:466) even when
+    # rendering a band (band_row0 > 0)
+    pnx = (pix_x - camera.width / 2.0) / fx
+    pny = (pix_y + band_row0 - camera.height / 2.0) / fy
     ln = jnp.sqrt(pnx * pnx + pny * pny + 1.0)  # (T,px)
 
     weight = raw["weight"]

@@ -22,14 +22,19 @@ TILE = 16  # config.h:16-17
 
 
 def tile_rect(xy, radius, tiles_x, tiles_y, tile=TILE):
-    """Tile-space bounding rect [min, max) per Gaussian (auxiliary.h:62-72)."""
+    """Tile-space bounding rect [min, max) per Gaussian (auxiliary.h:62-72).
+
+    Exclusive max = tile of the last covered coordinate + 1 — matching
+    ops.binning.gaussian_rects. (The reference's (x+r+BLOCK-1)/BLOCK trick
+    is equivalent for its integer radii but under-covers for our float
+    extents when (x+r) mod tile < 1.)"""
     rx_min = jnp.clip(jnp.floor((xy[..., 0] - radius) / tile), 0, tiles_x).astype(jnp.int32)
     ry_min = jnp.clip(jnp.floor((xy[..., 1] - radius) / tile), 0, tiles_y).astype(jnp.int32)
     rx_max = jnp.clip(
-        jnp.floor((xy[..., 0] + radius + tile - 1) / tile), 0, tiles_x
+        jnp.floor((xy[..., 0] + radius) / tile) + 1, 0, tiles_x
     ).astype(jnp.int32)
     ry_max = jnp.clip(
-        jnp.floor((xy[..., 1] + radius + tile - 1) / tile), 0, tiles_y
+        jnp.floor((xy[..., 1] + radius) / tile) + 1, 0, tiles_y
     ).astype(jnp.int32)
     return rx_min, ry_min, rx_max, ry_max
 

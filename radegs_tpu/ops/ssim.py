@@ -54,8 +54,8 @@ def _filter2d(img, taps):
     return _blur1d(_blur1d(img, taps, axis=1), taps, axis=2)
 
 
-def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
-    """Mean SSIM over a (C,H,W) image pair (utils/loss_utils.py:23-63)."""
+def ssim_map(img1, img2, window_size: int = 11, sigma: float = 1.5):
+    """Per-pixel SSIM map (C,H,W) with 'same' zero padding."""
     w = _gaussian_taps(window_size, sigma)
     mu1 = _filter2d(img1, w)
     mu2 = _filter2d(img2, w)
@@ -63,5 +63,9 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
     s1 = _filter2d(img1 * img1, w) - mu1_sq
     s2 = _filter2d(img2 * img2, w) - mu2_sq
     s12 = _filter2d(img1 * img2, w) - mu12
-    m = ((2 * mu12 + C1) * (2 * s12 + C2)) / ((mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
-    return jnp.mean(m)
+    return ((2 * mu12 + C1) * (2 * s12 + C2)) / ((mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+
+
+def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
+    """Mean SSIM over a (C,H,W) image pair (utils/loss_utils.py:23-63)."""
+    return jnp.mean(ssim_map(img1, img2, window_size, sigma))

@@ -31,6 +31,10 @@ def main():
                     help="capture a jax.profiler trace of the full step to DIR")
     args = ap.parse_args()
 
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench  # reuse the headline scene builder
     import jax
     import jax.numpy as jnp
@@ -62,10 +66,15 @@ def main():
         return prep.replace(valid=prep.valid & g.active)
 
     def binning_of(prep):
+        # mirror rasterize()'s call: precise culling on, no tile_gauss
+        # (the Pallas path reads the flat layout only)
         return bin_gaussians(
             jax.lax.stop_gradient(prep.xy), jax.lax.stop_gradient(prep.radius),
             jax.lax.stop_gradient(prep.depth), prep.valid, W, H,
             instance_budget=budget, max_per_tile=pcfg.max_per_tile,
+            conic=jax.lax.stop_gradient(prep.conic),
+            opacity=jax.lax.stop_gradient(jnp.where(prep.valid, prep.opacity, 0.0)),
+            need_tile_gauss=(jax.default_backend() != "tpu"),
         )
 
     # ---- cumulative prefixes; each returns ONE scalar used to perturb the
@@ -79,24 +88,21 @@ def main():
     def p_binning(g):
         prep = prep_of(g)
         b = binning_of(prep)
-        return b.n_instances.astype(jnp.float32) * 1e-20
+        # depend on the SORTED outputs — returning only n_instances lets XLA
+        # dead-code-eliminate the sort/ranges (measured: it does)
+        return (jnp.sum(b.gauss_id) + jnp.sum(b.tile_start)).astype(jnp.float32) * 1e-20
 
     @jax.jit
     def p_pack(g):
-        from radegs_tpu.ops.pallas_blend import aligned_instance_layout, pack_features
+        from radegs_tpu.ops.pallas_blend import sorted_features
 
         prep = prep_of(g)
         b = binning_of(prep)
-        feat = pack_features(
-            prep.xy, prep.conic,
-            jnp.where(prep.valid, prep.opacity, 0.0),
-            prep.rgb, prep.view_point, prep.camera_plane, prep.ray_plane,
-            prep.normal, prep.ts,
-        )
-        T = ((W + 15) // 16) * ((H + 15) // 16)
-        gid_aligned, astart = aligned_instance_layout(b, T, 128)
-        feat_sorted = jnp.take(feat, jnp.clip(gid_aligned, 0, g.capacity - 1), axis=1)
-        return jnp.sum(feat_sorted[0]) * 1e-20 + jnp.sum(astart) * 1e-20
+        inputs = (prep.xy, prep.conic, jnp.where(prep.valid, prep.opacity, 0.0),
+                  prep.rgb, prep.view_point, prep.camera_plane, prep.ray_plane,
+                  prep.normal, prep.ts)
+        feat_sorted = sorted_features(b, inputs)
+        return jnp.sum(feat_sorted[0]) * 1e-20
 
     @jax.jit
     def p_blend_fwd(g):

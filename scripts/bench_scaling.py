@@ -24,18 +24,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def run_one(n_devices, base_gaussians, width, height, iters, warmup):
+def run_one(n_devices, base_gaussians, width, height, iters, warmup, gspmd=False):
     import jax
     import jax.numpy as jnp
 
     from radegs_tpu.core.camera import Camera
     from radegs_tpu.models import gaussian_model as gm
-    from radegs_tpu.parallel.sharding import make_mesh, shard_camera, shard_train_state
     from radegs_tpu.train.config import ModelConfig, OptimizationConfig, PipelineConfig
     from radegs_tpu.train.loop import init_train_state, make_train_step
 
     devices = jax.devices()[:n_devices]
-    mesh = make_mesh(devices)
 
     P = base_gaussians * n_devices
     capacity = gm.round_capacity(P)
@@ -50,22 +48,54 @@ def run_one(n_devices, base_gaussians, width, height, iters, warmup):
     state = gm.update_3d_filter(state, [cam])
     gt = jnp.clip(jnp.asarray(rng.uniform(size=(3, height, width)), jnp.float32), 0, 1)
 
-    ts = init_train_state(state, jax.random.PRNGKey(0))
-    ts = shard_train_state(ts, mesh)
-    cam = shard_camera(cam, mesh)
+    mcfg = ModelConfig(kernel_size=0.1)
+    ocfg = OptimizationConfig(regularization_from_iter=0)
+    pcfg = PipelineConfig(max_per_tile=512)
     bg = jnp.zeros(3)
-    step = make_train_step(
-        ModelConfig(kernel_size=0.1), OptimizationConfig(regularization_from_iter=0),
-        PipelineConfig(max_per_tile=512), spatial_lr_scale=5.0,
+
+    if gspmd:
+        from radegs_tpu.parallel.sharding import (
+            make_mesh, shard_camera, shard_train_state,
+        )
+
+        mesh = make_mesh(devices)
+        ts = shard_train_state(init_train_state(state, jax.random.PRNGKey(0)), mesh)
+        cam_s = shard_camera(cam, mesh)
+        step = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=5.0)
+        with mesh:
+            for _ in range(warmup):
+                ts, m = step(ts, cam_s, gt, bg, 0, width, height)
+            float(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                ts, m = step(ts, cam_s, gt, bg, 0, width, height)
+            float(m["loss"])
+        return (time.perf_counter() - t0) / iters
+
+    # default: the explicit visibility-compressed shard_map step
+    from radegs_tpu.parallel.step import (
+        band_layout, make_mesh_1d, make_sharded_train_step, pad_gt,
     )
+
+    mesh = make_mesh_1d(devices)
+    step = make_sharded_train_step(
+        mcfg, ocfg, pcfg, spatial_lr_scale=5.0, mesh=mesh,
+        width=width, height=height,
+        vis_capacity=max(capacity // n_devices // 2, 1 << 12),
+    )
+    _, _, H_pad = band_layout(height, n_devices)
+    gt_p = pad_gt(gt, H_pad)
+    ts = init_train_state(state, jax.random.PRNGKey(0))
     with mesh:
         for _ in range(warmup):
-            ts, m = step(ts, cam, gt, bg, 0, width, height)
+            ts, m = step(ts, cam, gt_p, bg)
         float(m["loss"])
         t0 = time.perf_counter()
         for _ in range(iters):
-            ts, m = step(ts, cam, gt, bg, 0, width, height)
+            ts, m = step(ts, cam, gt_p, bg)
         float(m["loss"])
+        if float(m["n_vis_overflow"]) > 0:
+            print(f"  [warn] vis_capacity overflow: {float(m['n_vis_overflow']):.0f}")
     return (time.perf_counter() - t0) / iters
 
 
@@ -79,6 +109,9 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--devices", type=int, nargs="+", default=None)
+    p.add_argument("--gspmd", action="store_true",
+                   help="use the GSPMD auto-sharded step instead of the "
+                        "explicit visibility-compressed shard_map step")
     args = p.parse_args(argv)
 
     n_avail = len(jax.devices())
@@ -87,7 +120,7 @@ def main(argv=None):
     t1 = None
     for n in counts:
         dt = run_one(n, args.base_gaussians, args.width, args.height,
-                     args.iters, args.warmup)
+                     args.iters, args.warmup, gspmd=args.gspmd)
         if t1 is None:
             t1 = dt
         eff = t1 / dt

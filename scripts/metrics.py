@@ -30,12 +30,31 @@ def load_dir(d):
 
 
 def try_lpips():
+    """Prefer the in-repo JAX LPIPS (radegs_tpu.eval.lpips) when its
+    converted weights npz exists; fall back to an external torch `lpips`
+    install. Returns a callable (render01, gt01) -> float, or None.
+
+    NOTE the two paths follow the reference protocol (metric.py:74): [0,1]
+    images fed straight into the network's z-score, no [-1,1] rescale."""
     try:
-        import torch  # noqa: F401
+        from radegs_tpu.eval.lpips import LPIPSMetric
+
+        return LPIPSMetric()
+    except FileNotFoundError:
+        pass
+    except Exception:
+        pass
+    try:
+        import torch
         import lpips  # noqa: F401
 
         model = lpips.LPIPS(net="vgg")
-        return model
+
+        def score(r, g):
+            with torch.no_grad():
+                return float(model(torch.from_numpy(r[None]), torch.from_numpy(g[None])))
+
+        return score
     except Exception:
         return None
 
@@ -66,13 +85,7 @@ def main(argv=None):
                 ssims.append(float(ssim_fn(rj, gj)))
                 psnrs.append(float(psnr_fn(rj, gj)))
                 if lpips_model is not None:
-                    import torch
-
-                    with torch.no_grad():
-                        lpipss.append(float(lpips_model(
-                            torch.from_numpy(r[None] * 2 - 1),
-                            torch.from_numpy(g[None] * 2 - 1),
-                        )))
+                    lpipss.append(float(lpips_model(r, g)))
             print(f"  {method}: SSIM {np.mean(ssims):.7f}  PSNR {np.mean(psnrs):.7f}"
                   + (f"  LPIPS {np.mean(lpipss):.7f}" if lpipss else ""))
             full[method] = {

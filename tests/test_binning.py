@@ -19,8 +19,8 @@ def brute_force_tiles(xy, radius, depth, valid, W, H, tile=16):
                 continue
             rx_min = min(tiles_x, max(0, int(np.floor((xy[i, 0] - radius[i]) / tile))))
             ry_min = min(tiles_y, max(0, int(np.floor((xy[i, 1] - radius[i]) / tile))))
-            rx_max = min(tiles_x, max(0, int(np.floor((xy[i, 0] + radius[i] + tile - 1) / tile))))
-            ry_max = min(tiles_y, max(0, int(np.floor((xy[i, 1] + radius[i] + tile - 1) / tile))))
+            rx_max = min(tiles_x, max(0, int(np.floor((xy[i, 0] + radius[i]) / tile)) + 1))
+            ry_max = min(tiles_y, max(0, int(np.floor((xy[i, 1] + radius[i]) / tile)) + 1))
             if rx_min <= tx < rx_max and ry_min <= ty < ry_max:
                 members.append(i)
         members.sort(key=lambda i: depth[i])
@@ -78,6 +78,49 @@ def test_binning_instance_overflow_reported():
     for t in range(got.shape[0]):
         row = got[t][got[t] >= 0]
         assert np.all(np.diff(depth[row]) >= 0)
+
+
+def test_precise_cull_is_exact():
+    """Opacity-aware ellipse AABB + exact per-tile cull must not change the
+    rendered image: every culled (gaussian, tile) pair has alpha < 1/255
+    everywhere in the tile, which the blend skips anyway."""
+    import jax
+
+    from radegs_tpu.core.camera import Camera
+    from radegs_tpu.core.projection import preprocess_gaussians
+    from radegs_tpu.ops.rasterize import rasterize
+
+    rng = np.random.default_rng(5)
+    P = 80
+    W = H = 64
+    cam = Camera.look_at([0, 0, -4.0], [0, 0, 0], [0, 1, 0], 0.8, 0.8, W, H)
+    prep = preprocess_gaussians(
+        jnp.asarray(rng.normal(size=(P, 3)) * 0.9, jnp.float32),
+        jnp.asarray(rng.uniform(0.02, 0.6, (P, 3)), jnp.float32),  # anisotropic
+        jnp.asarray(np.tile([1.0, 0, 0, 0], (P, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(0.01, 0.9, (P, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 1, (P, 1, 3)), jnp.float32),
+        sh_degree=0, camera=cam, kernel_size=0.1,
+    )
+    from radegs_tpu.ops.binning import bin_gaussians
+
+    kw = dict(instance_budget=1 << 13, max_per_tile=128)
+    loose = bin_gaussians(prep.xy, prep.radius, prep.depth, prep.valid, W, H, **kw)
+    tight = bin_gaussians(prep.xy, prep.radius, prep.depth, prep.valid, W, H,
+                          conic=prep.conic, opacity=prep.opacity, **kw)
+    # culling must actually remove work on this anisotropic scene
+    loose_work = int(jnp.sum(loose.tile_count))
+    tight_work = int(jnp.sum(tight.tile_count))
+    assert tight_work < loose_work, (tight_work, loose_work)
+
+    bg = jnp.zeros(3)
+    out_loose = rasterize(prep, cam, bg, binning=loose, backend="xla")
+    out_tight = rasterize(prep, cam, bg, binning=tight, backend="xla")
+    for k in ["render", "expected_depth", "median_depth", "normal", "mask"]:
+        np.testing.assert_allclose(
+            np.asarray(out_loose[k]), np.asarray(out_tight[k]), atol=1e-5, rtol=1e-5,
+            err_msg=k,
+        )
 
 
 def test_binning_tile_cap():

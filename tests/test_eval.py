@@ -89,3 +89,35 @@ def test_evaluate_tnt_end_to_end():
     r = evaluate_tnt("TestScene", est, gt, est_traj=traj(c_est), gt_traj=traj(c_gt),
                      tau=0.01)
     assert r["f1"] > 0.9, r
+
+
+def test_evaluate_tnt_two_stage_icp_and_pr_curves(tmp_path):
+    """The official protocol's refinement must fix a small residual
+    misalignment the trajectory transform misses (run.py:158-162), and the
+    cumulative PR curves + txt dumps must be produced (evaluation.py:155-160,
+    plot.py:40)."""
+    rng = np.random.default_rng(9)
+    gt = rng.uniform(size=(9000, 3))
+    # est = gt under a small rigid error NOT captured by the trajectories
+    ang = 0.04
+    R = np.array([[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+    t = np.array([0.02, -0.015, 0.01])
+    est = gt @ R.T + t
+
+    # without ICP the fit is poor at tau=0.005; with the 3-stage refinement
+    # it must recover
+    r_no = evaluate_tnt("S", est, gt, tau=0.005, icp_refine=False)
+    r_icp = evaluate_tnt("S", est, gt, tau=0.005, icp_refine=True,
+                         out_dir=str(tmp_path))
+    assert r_icp["f1"] > 0.97, r_icp["f1"]
+    assert r_icp["f1"] > r_no["f1"] + 0.1, (r_icp["f1"], r_no["f1"])
+    # curve arrays present and monotone, ending at ~100%
+    for k in ("cum_source", "cum_target"):
+        c = r_icp[k]
+        assert len(c) > 100 and (np.diff(c) >= 0).all() and c[-1] > 0.95
+    import os
+
+    assert os.path.exists(tmp_path / "S.precision.txt")
+    assert os.path.exists(tmp_path / "S.recall.txt")
+    assert os.path.exists(tmp_path / "S.prf_tau_plotstr.txt")
+    assert os.path.exists(tmp_path / "S_results.json")

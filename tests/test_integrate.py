@@ -91,6 +91,16 @@ def test_alpha_integrated_ordering_and_sdf(scene):
     # projected-point count channel
     assert img9[8].sum() == probes.shape[0]
 
+    # color_integrated: the point's pixel's final blended color C + T*bg
+    # (forward.cu:1354) — all probes sit on the central ray, so every row
+    # must equal the image color at that pixel
+    ci = np.asarray(out["color_integrated"])
+    assert ci.shape == (probes.shape[0], 3)
+    px = np.asarray(out["point_coordinate"])
+    for k in range(probes.shape[0]):
+        i, j = int(px[k, 0]), int(px[k, 1])
+        np.testing.assert_allclose(ci[k], img9[0:3, j, i], atol=1e-6)
+
 
 def test_pallas_integrate_full_parity(scene):
     """Full integrate dict: pallas point phase vs the XLA walk."""

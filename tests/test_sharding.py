@@ -66,6 +66,76 @@ def test_sharded_step_matches_single_device(setup):
     )
 
 
+def test_visibility_compressed_step_matches_single_device(setup):
+    """parallel/step.py: the explicit shard_map step (visibility-compressed
+    all-gather + tile-band rasterization + halo losses) must reproduce the
+    single-device train step to float tolerance."""
+    from radegs_tpu.parallel.step import (
+        band_layout,
+        make_mesh_1d,
+        make_sharded_train_step,
+        pad_gt,
+    )
+
+    state, cam, gt = setup
+    copy = lambda s: jax.tree.map(jnp.copy, s)
+
+    ts0 = init_train_state(copy(state), jax.random.PRNGKey(0))
+    ts_ref, m_ref = _one_step(ts0, cam, gt)
+
+    mesh = make_mesh_1d(jax.devices())
+    mcfg = ModelConfig(kernel_size=0.1)
+    ocfg = OptimizationConfig(regularization_from_iter=0)
+    pcfg = PipelineConfig(max_per_tile=64)
+    step = make_sharded_train_step(
+        mcfg, ocfg, pcfg, spatial_lr_scale=3.5, mesh=mesh,
+        width=cam.width, height=cam.height,
+    )
+    _, _, H_pad = band_layout(cam.height, len(jax.devices()))
+    gt_p = pad_gt(gt, H_pad)
+    ts1 = init_train_state(copy(state), jax.random.PRNGKey(0))
+    with mesh:
+        ts_sh, m_sh = step(ts1, cam, gt_p, jnp.zeros(3))
+    m_sh = {k: float(v) for k, v in m_sh.items()}
+
+    assert np.isfinite(m_sh["loss"])
+    assert m_sh["n_vis_overflow"] == 0
+    assert abs(m_sh["loss"] - m_ref["loss"]) < 1e-5, (m_sh["loss"], m_ref["loss"])
+    assert abs(m_sh["psnr"] - m_ref["psnr"]) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(ts_sh.gaussians.params.xyz), np.asarray(ts_ref.gaussians.params.xyz),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ts_sh.gaussians.grad_accum), np.asarray(ts_ref.gaussians.grad_accum),
+        atol=1e-4,
+    )
+
+
+def test_visibility_compression_overflow_reported(setup):
+    """A starved vis_capacity must be reported, never silent."""
+    from radegs_tpu.parallel.step import (
+        band_layout,
+        make_mesh_1d,
+        make_sharded_train_step,
+        pad_gt,
+    )
+
+    state, cam, gt = setup
+    ts = init_train_state(jax.tree.map(jnp.copy, state), jax.random.PRNGKey(0))
+    mesh = make_mesh_1d(jax.devices())
+    step = make_sharded_train_step(
+        ModelConfig(kernel_size=0.1), OptimizationConfig(regularization_from_iter=0),
+        PipelineConfig(max_per_tile=64), spatial_lr_scale=3.5, mesh=mesh,
+        width=cam.width, height=cam.height, vis_capacity=2,
+    )
+    _, _, H_pad = band_layout(cam.height, len(jax.devices()))
+    with mesh:
+        _, m = step(ts, cam, pad_gt(gt, H_pad), jnp.zeros(3))
+    assert float(m["n_vis_overflow"]) > 0
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_mark_visible(setup):
     state, cam, _ = setup
     vis = np.asarray(mark_visible(state, cam))
