@@ -27,8 +27,30 @@ CAPACITY = 131_072
 WARMUP = 2
 ITERS = 10
 
+# --scene dense: converged-scene analogue — splats ON SURFACES at realistic
+# density (a Mip-360-class run converges to 1-6M small splats)
+DENSE_N = 1_200_000
+DENSE_CAPACITY = 1 << 21
 
-def build_scene(seed=0):
+
+def _surface_points(n, rng):
+    """Points on a noisy sphere + ground plane (converged-scene analogue:
+    splats concentrate on surfaces, scales come from true 3-NN spacing)."""
+    n_sphere = (2 * n) // 3
+    d = rng.normal(size=(n_sphere, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    r = 1.3 + 0.05 * rng.normal(size=(n_sphere, 1))
+    sphere = d * r
+    n_plane = n - n_sphere
+    plane = np.stack(
+        [rng.uniform(-3, 3, n_plane), np.full(n_plane, -1.4)
+         + 0.02 * rng.normal(size=n_plane), rng.uniform(-3, 3, n_plane)],
+        axis=1,
+    )
+    return np.concatenate([sphere, plane], 0).astype(np.float32)
+
+
+def build_scene(seed=0, scene="100k"):
     import jax
     import jax.numpy as jnp
 
@@ -36,24 +58,31 @@ def build_scene(seed=0):
     from radegs_tpu.models import gaussian_model as gm
 
     rng = np.random.default_rng(seed)
-    pts = (rng.normal(size=(N_GAUSS, 3)) * 1.2).astype(np.float32)
-    cols = rng.uniform(0.1, 0.9, size=(N_GAUSS, 3)).astype(np.float32)
     cam = Camera.look_at(
         [0.0, 0.8, -5.0], [0, 0, 0], [0, 1, 0], 0.9, 0.7, WIDTH, HEIGHT
     )
+    if scene == "dense":
+        pts = _surface_points(DENSE_N, rng)
+        cols = rng.uniform(0.1, 0.9, size=(DENSE_N, 3)).astype(np.float32)
+        capacity, shrink = DENSE_CAPACITY, 1.0  # no scale hack: real spacing
+    else:
+        pts = (rng.normal(size=(N_GAUSS, 3)) * 1.2).astype(np.float32)
+        cols = rng.uniform(0.1, 0.9, size=(N_GAUSS, 3)).astype(np.float32)
+        # shrink splats so the random cloud fits the instance budget
+        # (3-NN init on a volumetric cloud gives ~12M instances at 1600x1200)
+        capacity, shrink = CAPACITY, 0.22
 
     # one jit for setup: eagerly this is ~60 op-by-op compiles (~3min on a
     # cold remote-compile cache)
     @jax.jit
     def make_state(pts, cols):
-        state = gm.create_from_points(pts, cols, capacity=CAPACITY)
-        # shrink splats so the scene fits the instance budget (no overflow):
-        # 3-NN init on a random cloud gives ~12M tile instances at 1600x1200
-        state = state.replace(
-            params=state.params.replace(
-                scaling=state.params.scaling + float(np.log(0.22))
+        state = gm.create_from_points(pts, cols, capacity=capacity)
+        if shrink != 1.0:
+            state = state.replace(
+                params=state.params.replace(
+                    scaling=state.params.scaling + float(np.log(shrink))
+                )
             )
-        )
         return gm.update_3d_filter(state, [cam])
 
     state = make_state(pts, cols)
@@ -76,15 +105,18 @@ def main():
     ap.add_argument("--trace", type=str, default=None,
                     help="capture a jax.profiler trace of 3 steps to DIR "
                          "(per-stage breakdown: scripts/bench_breakdown.py)")
+    ap.add_argument("--scene", choices=["100k", "dense"], default="100k",
+                    help="'dense': 1.2M surface splats at true 3-NN scales "
+                         "(converged-scene analogue, no scale hack)")
     args = ap.parse_args()
 
-    state, cam, gt = build_scene()
+    state, cam, gt = build_scene(scene=args.scene)
     ts = init_train_state(state, jax.random.PRNGKey(0))
     bg = jnp.zeros(3)
 
     mcfg = ModelConfig(kernel_size=0.1)
     ocfg = OptimizationConfig(regularization_from_iter=0)
-    pcfg = PipelineConfig(max_per_tile=512)
+    pcfg = PipelineConfig(max_per_tile=512 if args.scene == "100k" else 1024)
     step = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=5.0)
 
     # chained steps with one final fetch: each step consumes the previous
@@ -107,10 +139,11 @@ def main():
             float(metrics["loss"])
 
     rays_per_s = WIDTH * HEIGHT / dt
+    suffix = "" if args.scene == "100k" else f"_{args.scene}"
     print(
         json.dumps(
             {
-                "metric": "rays_per_s_per_chip_fwd_bwd_1600x1200",
+                "metric": f"rays_per_s_per_chip_fwd_bwd_1600x1200{suffix}",
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),

@@ -52,12 +52,20 @@ def _bilinear_sample(img, xy, H, W):
 
 def evaluate_cull_alpha(points, views, masks, state, kernel_size, bg,
                         max_per_tile=1024, instance_budget=None,
-                        point_chunk_size=262_144, progress=None):
+                        point_chunk_size=262_144, progress=None, caches=None):
     """SDF = 0.5 - min over valid views of alpha_integrated
-    (mesh_extract_tetrahedra.py:32-56); -100 where no view sees the point."""
+    (mesh_extract_tetrahedra.py:32-56); -100 where no view sees the point.
+
+    ``caches``: optional per-view (prep, cache) pairs from
+    renderer.integrate_prepare_compiled — the points-independent half
+    (preprocess + binning + phase-A image) is then reused across calls,
+    which the binary search makes 1 + n_steps times."""
     import jax.numpy as jnp
 
-    from radegs_tpu.renderer import integrate_compiled
+    from radegs_tpu.renderer import (
+        integrate_compiled,
+        integrate_points_compiled,
+    )
 
     N = points.shape[0]
     final = np.ones(N, np.float32)
@@ -74,10 +82,14 @@ def evaluate_cull_alpha(points, views, masks, state, kernel_size, bg,
             pad = point_chunk_size - chunk.shape[0] if N > point_chunk_size else 0
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad, 3), np.float32)])
-            ret = integrate_compiled(jnp.asarray(chunk), state, cam, bg,
-                                     kernel_size=kernel_size,
-                                     max_per_tile=max_per_tile,
-                                     instance_budget=instance_budget)
+            if caches is not None:
+                prep, cache = caches[ci]
+                ret = integrate_points_compiled(jnp.asarray(chunk), prep, cache, cam)
+            else:
+                ret = integrate_compiled(jnp.asarray(chunk), state, cam, bg,
+                                         kernel_size=kernel_size,
+                                         max_per_tile=max_per_tile,
+                                         instance_budget=instance_budget)
             alphas[s:e] = np.asarray(ret["alpha_integrated"])[: e - s]
             coords[s:e] = np.asarray(ret["point_coordinate"])[: e - s]
             if mask_img is None:
@@ -107,10 +119,22 @@ def extract_mesh_tetrahedra(state, views, kernel_size, bg, masks=None,
     if verbose:
         print(f"delaunay cells: {cells.shape[0]}")
 
+    # prepare the points-independent half (preprocess + binning + phase-A
+    # image) ONCE per view; the binary search then pays only phase B
+    from radegs_tpu.renderer import integrate_prepare_compiled
+
+    caches = [
+        integrate_prepare_compiled(state, cam, bg, kernel_size=kernel_size,
+                                   max_per_tile=max_per_tile,
+                                   instance_budget=instance_budget)
+        for cam, _, _ in views
+    ]
+
     def sdf_of(pts):
         return evaluate_cull_alpha(
             pts, views, masks, state, kernel_size, bg,
             max_per_tile=max_per_tile, instance_budget=instance_budget,
+            caches=caches,
             progress=(lambda i, n: print(f"  view {i + 1}/{n}", end="\r"))
             if verbose else None,
         )

@@ -193,13 +193,18 @@ def bin_gaussians(
     slot_valid = jnp.arange(B) < jnp.minimum(total, B)
 
     # ONE packed row gather: B-sized scalar gathers from in-graph sources hit
-    # a ~20ms slow path each on TPU, a single (P,6) row gather is ~2ms.
-    packed = jnp.stack(
-        [alive_ids, offsets[alive_ids], jnp.maximum(w[alive_ids], 1),
-         rx_min[alive_ids], ry_min[alive_ids], rank[alive_ids]],
-        axis=1,
-    )  # (P, 6), rows in alive-rank order
-    slot = packed[jnp.clip(owner, 0, P - 1)]  # (B, 6)
+    # a ~20ms slow path each on TPU, a single (P,k) row gather is ~2-7ms.
+    # Precise mode rides the SAME gather (its int columns are < 2^23, so
+    # f32 carries them exactly) instead of paying a second B-row gather.
+    int_cols = [alive_ids, offsets[alive_ids], jnp.maximum(w[alive_ids], 1),
+                rx_min[alive_ids], ry_min[alive_ids], rank[alive_ids]]
+    cols = [x.astype(jnp.float32) for x in int_cols]
+    if precise:
+        cols += [xy[alive_ids, 0], xy[alive_ids, 1], a[alive_ids], b[alive_ids],
+                 c[alive_ids], tau[alive_ids]]
+    packed = jnp.stack(cols, axis=1)  # (P, 6|12), rows in alive-rank order
+    slotp = packed[jnp.clip(owner, 0, P - 1)]  # (B, 6|12)
+    slot = slotp[:, :6].astype(jnp.int32)
     gid = jnp.where(slot_valid, slot[:, 0], -1)
 
     # slot offset within the gaussian's rect -> tile coordinates
@@ -208,7 +213,7 @@ def bin_gaussians(
     # integer div/mod with a variable divisor has no TPU hardware path
     # (~20ms/step at B=2^20); exact float division instead: the +0.5 keeps
     # (within+0.5)/w strictly inside (q, q+1) for w <= 2^15, within < 2^23
-    q = jnp.floor((within.astype(jnp.float32) + 0.5) / w_safe.astype(jnp.float32))
+    q = jnp.floor((within.astype(jnp.float32) + 0.5) / slotp[:, 2])
     q = q.astype(jnp.int32)
     ty = slot[:, 4] + q
     tx = slot[:, 3] + within - q * w_safe
@@ -217,12 +222,7 @@ def bin_gaussians(
     # --- exact per-tile cull (precise mode) ---
     n_culled = jnp.zeros((), jnp.int32)
     if precise:
-        packed_f = jnp.stack(
-            [xy[alive_ids, 0], xy[alive_ids, 1], a[alive_ids], b[alive_ids],
-             c[alive_ids], tau[alive_ids]],
-            axis=1,
-        )  # (P, 6) float row gather, same pattern as packed
-        slotf = packed_f[jnp.clip(owner, 0, P - 1)]  # (B, 6)
+        slotf = slotp[:, 6:]  # (B, 6), from the shared gather above
         x0 = (tx * tile).astype(jnp.float32)
         y0 = (ty * tile).astype(jnp.float32)
         qmin = _q_min_over_rect(

@@ -308,20 +308,14 @@ def point_sdf_from_mid(pts: PointProjection, mid, tiles_x: int):
     return jnp.where((pts.depth > 0) & pts.valid, med_depth - pts.depth, 0.0)
 
 
-def integrate(points3d, prep: PreprocessOut, camera, bg,
-              max_per_tile: int = 1024, instance_budget: int | None = None,
-              chunk: int = 8, point_chunk: int = 256, backend: str | None = None):
-    """Full integrate (gaussian_renderer/__init__.py:98-195 contract).
-
-    Returns dict with render (9,H,W), alpha_integrated (N,),
-    point_coordinate (N,2), point_sdf (N,), plus visibility info.
-
-    ``backend``: "xla" | "pallas" | "pallas_interpret" for the point phase;
-    None = auto ("pallas" on TPU).
-    """
-    assert prep.invraycov is not None, "preprocess with compute_invraycov=True"
-    if backend is None:
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+def integrate_view_cache(prep: PreprocessOut, camera, bg,
+                         max_per_tile: int = 1024,
+                         instance_budget: int | None = None, chunk: int = 8):
+    """The POINTS-INDEPENDENT part of integrate: binning + the phase-A
+    image + the per-pixel median plane. Marching-Tetrahedra re-evaluates
+    the SDF at new points 1 + n_binary_steps times per view
+    (mesh_extract_tetrahedra.py:90-102) — this cache makes those re-walks
+    pay only phase B."""
     W, H = camera.width, camera.height
     if instance_budget is None:
         from radegs_tpu.ops.binning import default_instance_budget
@@ -330,6 +324,23 @@ def integrate(points3d, prep: PreprocessOut, camera, bg,
     binning = bin_gaussians(prep.xy, prep.radius, prep.depth, prep.valid, W, H,
                             instance_budget=instance_budget,
                             max_per_tile=max_per_tile)
+    # channel 8 (projected-point counts) is filled per point set later
+    out_color, mid = integrate_image(
+        prep, binning, bg, jnp.zeros((H, W), jnp.int32), width=W, height=H,
+        chunk=chunk,
+    )
+    return {"binning": binning, "color": out_color, "mid": mid}
+
+
+def integrate_points_cached(points3d, prep: PreprocessOut, cache, camera,
+                            chunk: int = 8, point_chunk: int = 256,
+                            backend: str | None = None):
+    """Phase B against a prepared view cache (integrate_view_cache)."""
+    assert prep.invraycov is not None, "preprocess with compute_invraycov=True"
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    W, H = camera.width, camera.height
+    binning, mid = cache["binning"], cache["mid"]
     pts = project_points(jnp.asarray(points3d, jnp.float32), camera)
 
     # per-pixel projected-point counts (channel 8)
@@ -337,9 +348,8 @@ def integrate(points3d, prep: PreprocessOut, camera, bg,
     counts = jnp.zeros((H * W,), jnp.int32).at[
         jnp.where(pts.valid, pix_flat, 0)
     ].add(pts.valid.astype(jnp.int32)).reshape(H, W)
+    out_color = cache["color"].at[8].set(counts.astype(jnp.float32))
 
-    out_color, mid = integrate_image(prep, binning, bg, counts, width=W, height=H,
-                                     chunk=chunk)
     tiles_x, _ = tile_grid(W, H)
     if backend in ("pallas", "pallas_interpret"):
         from radegs_tpu.ops.pallas_integrate import integrate_points_pallas
@@ -352,6 +362,28 @@ def integrate(points3d, prep: PreprocessOut, camera, bg,
     else:
         a_int, sdf = integrate_points(prep, binning, pts, mid, tiles_x, chunk=chunk,
                                       point_chunk=point_chunk)
+    return out_color, pts, a_int, sdf, binning
+
+
+def integrate(points3d, prep: PreprocessOut, camera, bg,
+              max_per_tile: int = 1024, instance_budget: int | None = None,
+              chunk: int = 8, point_chunk: int = 256, backend: str | None = None):
+    """Full integrate (gaussian_renderer/__init__.py:98-195 contract).
+
+    Returns dict with render (9,H,W), alpha_integrated (N,),
+    color_integrated (N,3), point_coordinate (N,2), point_sdf (N,), plus
+    visibility info.
+
+    ``backend``: "xla" | "pallas" | "pallas_interpret" for the point phase;
+    None = auto ("pallas" on TPU).
+    """
+    W, H = camera.width, camera.height
+    cache = integrate_view_cache(prep, camera, bg, max_per_tile=max_per_tile,
+                                 instance_budget=instance_budget, chunk=chunk)
+    out_color, pts, a_int, sdf, binning = integrate_points_cached(
+        points3d, prep, cache, camera, chunk=chunk, point_chunk=point_chunk,
+        backend=backend,
+    )
     # color_integrated: the point's pixel's final blended color C + T*bg
     # (forward.cu:1354 — a pixel-color sample, not a per-point blend);
     # one (HW,3) row gather instead of per-element fancy indexing

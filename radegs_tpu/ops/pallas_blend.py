@@ -47,6 +47,7 @@ MAX_ALPHA = 0.99
 
 N_FEAT = 32  # 24 attribute rows + gaussian id (row 24) + pad to 8-multiple
 # (DMA slice shapes must be sublane-aligned: 25 rows crashes Mosaic)
+SUB = 32  # compute sub-block rows inside a 128-row DMA chunk
 N_OUT = 17
 # feature row indices in the packed (25, B) array
 FEAT_LAYOUT = dict(
@@ -143,14 +144,25 @@ def _cumor0(x, n: int):
     return f > 0.5
 
 
-def _mm(a, b, precision=jax.lax.Precision.HIGHEST):
-    """(k, CH) @ (CH, px) on the MXU. HIGHEST keeps f32 operands f32
-    (default TPU matmul precision truncates to bf16 — these products feed
-    rendered outputs and gradients, so the 6-pass f32 path is mandatory;
-    measured cost is negligible vs the VPU trees it replaces)."""
+import os as _os
+
+# f32 fidelity of the in-kernel matmuls. DEFAULT truncates operands to
+# bf16 (1 MXU pass); HIGH ~ 3 passes; HIGHEST ~ 6 passes. These products
+# feed rendered outputs and gradients; see tests/test_pallas_blend for the
+# measured parity at each setting.
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("RADEGS_MM_PRECISION", "highest").lower()]
+
+
+def _mm(a, b, precision=None):
+    """(k, CH) @ (CH, px) on the MXU with pinned f32 fidelity."""
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION if precision is None else precision,
     )
 
 
@@ -185,6 +197,7 @@ def _fwd_kernel(
     count = count_ref[t]
     CH = chunk
     px = tile * tile
+    SUBK = min(SUB, CH)  # sub-block size (tests use tiny chunks)
 
     tx = t % tiles_x
     ty = t // tiles_x
@@ -196,8 +209,8 @@ def _fwd_kernel(
     pix_y = (lane // tile).astype(jnp.float32)
     ox = (tx * tile).astype(jnp.float32)
     oy = (ty * tile).astype(jnp.float32)
-    row = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
-    tri = _lower_tri(CH)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (SUBK, 1), 0)
+    tri = _lower_tri(SUBK)
 
     # 128-aligned WINDOW read of the sorted instance list: rows before
     # ``head`` (previous tiles') and past head+count are masked in-kernel
@@ -231,28 +244,21 @@ def _fwd_kernel(
         med_pos=jnp.full((1, px), -1, jnp.int32),
     )
 
-    def body(ci, acc):
-        slot = jax.lax.rem(ci, 2)
-
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            dma(1 - slot, ci + 1).start()
-
-        dma(slot, ci).wait()
-        f = fbuf[slot]  # (24, CH): feature ROWS, instance lanes
-        ft = f.T  # (CH, 24)
+    def sub_step(f_sub, row0, acc):
+        """Process SUBK contributors (rows of the window at offset row0)."""
+        ft = f_sub.T  # (SUBK, 32)
 
         def col(i):
-            return ft[:, i][:, None]  # (CH, 1)
+            return ft[:, i][:, None]  # (SUBK, 1)
 
         def frow(i):
-            return f[i : i + 1, :]  # (1, CH)
+            return f_sub[i : i + 1, :]  # (1, SUBK)
 
-        idx = ci * CH + row  # (CH, 1) window-relative index
+        idx = row0 + srow  # (SUBK, 1) window-relative index
         in_range = (idx >= head) & (idx < count_w)
         xl = col(0) - ox  # tile-local gaussian center
         yl = col(1) - oy
-        dx = xl - pix_x  # (CH, px) — same value as global-frame delta
+        dx = xl - pix_x  # (SUBK, px) — same value as global-frame delta
         dy = yl - pix_y
         ca, cb, cc = col(2), col(3), col(4)
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -263,7 +269,7 @@ def _fwd_kernel(
         alpha = jnp.where(cand, alpha, 0.0)
         one_minus = 1.0 - alpha
 
-        cum = _cumprod0(one_minus, CH)
+        cum = _cumprod0(one_minus, SUBK)
         t_prefix = acc["t_cur"] * _shift_down(cum, 1, 1.0)
         terminate = (alpha > 0.0) & (t_prefix * one_minus < T_EPS)
         killed = _cumor0_mxu(jnp.where(terminate, 1.0, 0.0), tri)
@@ -276,7 +282,7 @@ def _fwd_kernel(
         # the 11 per-pixel reductions sum_i w_i x_i (forward.cu:596-611)
         # collapse to ONE MXU matmul of a 19-row contributor basis against w
         # (the VPU cross-sublane reduce trees were ~half this kernel's time):
-        xr, yr = frow(0) - ox, frow(1) - oy  # (1, CH) tile-local centers
+        xr, yr = frow(0) - ox, frow(1) - oy  # (1, SUBK) tile-local centers
         a_t = frow(9) + frow(10) * xr + frow(11) * yr
         a_cx = frow(12) + frow(15) * xr + frow(18) * yr
         a_cy = frow(13) + frow(16) * xr + frow(19) * yr
@@ -284,7 +290,7 @@ def _fwd_kernel(
         basis = jnp.concatenate(
             [
                 frow(6), frow(7), frow(8),  # rgb
-                jnp.ones((1, CH), f32),  # weight
+                jnp.ones((1, SUBK), f32),  # weight
                 frow(21), frow(22), frow(23),  # normal
                 a_t, frow(10), frow(11),  # t_ray affine coefs
                 a_cx, frow(15), frow(18),
@@ -292,7 +298,7 @@ def _fwd_kernel(
                 a_cz, frow(17), frow(20),
             ],
             axis=0,
-        )  # (19, CH)
+        )  # (19, SUBK)
         R = _mm(basis, w)  # (19, px)
 
         def affine(b, k):
@@ -331,10 +337,36 @@ def _fwd_kernel(
         # t_prefix (which excludes it and everything after) IS the new T
         t_term = jnp.max(jnp.where(terminate, t_prefix, 0.0), axis=0, keepdims=True)
         any_term = jnp.max(jnp.where(terminate, 1.0, 0.0), axis=0, keepdims=True)
-        t_open = acc["t_cur"] * cum[CH - 1 : CH]
+        t_open = acc["t_cur"] * cum[SUBK - 1 : SUBK]
         t_new = jnp.where(any_term > 0.5, t_term, t_open)
         acc["t_cur"] = jnp.where(acc["done"] > 0.5, acc["t_cur"], t_new)
         acc["done"] = jnp.maximum(acc["done"], any_term)
+        return acc
+
+    def body(ci, acc):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma(1 - slot, ci + 1).start()
+
+        dma(slot, ci).wait()
+        f = fbuf[slot]  # (32, CH): feature ROWS, instance lanes
+
+        # sub-stepped compute: most tiles have count << CH, so fully-masked
+        # 32-row sub-blocks of the window are skipped outright (the 128-row
+        # chunk floor was ~2.5x wasted work at bench tile occupancy)
+        for s in range(CH // SUBK):
+            row0 = ci * CH + s * SUBK
+            overlap = (row0 + SUBK > head) & (row0 < count_w)
+            acc = jax.lax.cond(
+                overlap,
+                lambda a, s=s, row0=row0: sub_step(
+                    f[:, s * SUBK : (s + 1) * SUBK], row0, a
+                ),
+                lambda a: a,
+                acc,
+            )
         return acc
 
     acc = jax.lax.fori_loop(0, n_chunks, body, init)
@@ -450,24 +482,26 @@ N_AUX = 32
 
 def _bwd_kernel(
     # scalar prefetch
-    start_ref, count_ref, ostart_ref,
+    start_ref, count_ref,
     # inputs: packed instance features (HBM) + per-tile aux block (VMEM)
     feat_hbm,
     aux_ref,
-    # output: per-instance gradients (HBM, manual DMA), chunk-aligned
-    # per-tile output runs (ostart_ref) — output windows may NOT overlap
-    # across grid steps, unlike the input read windows
+    # output: per-instance gradient rows, GLOBALLY COMPACTED — a VMEM ring
+    # (persisting across the sequential grid) collects only the real rows of
+    # every tile and flushes exact 128-lane chunks, so the downstream
+    # scatter-add sees ~sum(count) rows instead of sum(count) + T*CH pad
     grad_hbm,
     # scratch
-    fbuf, obuf, fsems, osems,
+    fbuf, stage, flbuf, fsems, flsems, fill_smem,
     *, chunk: int, tiles_x: int, tile: int, width: int, height: int,
 ):
     t = pl.program_id(0)
     start = start_ref[t]
     count = count_ref[t]
-    ostart = ostart_ref[t]
     CH = chunk
     px = tile * tile
+    SUBK = min(SUB, CH)  # sub-block size (tests use tiny chunks)
+    RING = 2 * CH
 
     tx_i = t % tiles_x
     ty_i = t // tiles_x
@@ -478,8 +512,8 @@ def _bwd_kernel(
     pix_y = (lane // tile).astype(jnp.float32)
     ox = (tx_i * tile).astype(jnp.float32)
     oy = (ty_i * tile).astype(jnp.float32)
-    row = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
-    tri = _lower_tri(CH)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (SUBK, 1), 0)
+    tri = _lower_tri(SUBK)
 
     start_al = (start // CH) * CH
     head = start - start_al
@@ -492,11 +526,50 @@ def _bwd_kernel(
             feat_hbm.at[:, pl.ds(off, CH)], fbuf.at[slot], fsems.at[slot]
         )
 
-    def odma(slot, ci):
-        off = pl.multiple_of(ostart + ci * CH, CH)
+    @pl.when(t == 0)
+    def _():
+        fill_smem[0] = 0  # global compacted-row counter (across grid steps)
+
+    def fl_dma(slot, k):
+        # flush k covers output lanes [k*CH, (k+1)*CH)
+        off = pl.multiple_of(k * CH, CH)
         return pltpu.make_async_copy(
-            obuf.at[slot], grad_hbm.at[:, pl.ds(off, CH)], osems.at[slot]
+            flbuf.at[slot], grad_hbm.at[:, pl.ds(off, CH)], flsems.at[slot]
         )
+
+    def flush(k):
+        """Copy the completed ring half to a flush buffer and DMA it out."""
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k >= 2)
+        def _():
+            fl_dma(slot, k - 2).wait()
+
+        half = jax.lax.rem(k, 2)  # ring half k%2 holds lanes [k*CH,(k+1)*CH)
+        flbuf[slot] = stage[:, pl.ds(pl.multiple_of(half * CH, CH), CH)]
+        fl_dma(slot, k).start()
+
+    # ring-lane index grids for the masked placement
+    ring_lane = jax.lax.broadcasted_iota(jnp.int32, (1, RING), 1)
+    sub_j = jax.lax.broadcasted_iota(jnp.int32, (SUBK, RING), 0)
+    ring_r = jax.lax.broadcasted_iota(jnp.int32, (SUBK, RING), 1)
+
+    def stage_put(gmat, lo, nreal, fill):
+        """Place gmat rows [lo, lo+nreal) at ring lanes [fill%RING, ...)."""
+        fill_mod = jax.lax.rem(fill, RING)
+        # placement one-hot: lane r takes gmat row j iff
+        # (r - fill_mod) mod RING == j - lo and lo <= j < lo + nreal
+        rel = jax.lax.rem(ring_r - fill_mod + RING, RING)
+        sp = jnp.where(
+            (rel == sub_j - lo) & (sub_j >= lo) & (sub_j < lo + nreal), 1.0, 0.0
+        )  # (SUBK, RING)
+        add = jax.lax.dot_general(
+            gmat.T, sp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (32, RING); exact: sp is one-hot
+        written = jax.lax.rem(ring_lane - fill_mod + RING, RING) < nreal
+        stage[...] = jnp.where(written, add, stage[...])
 
     @pl.when(n_chunks > 0)
     def _():
@@ -548,24 +621,21 @@ def _bwd_kernel(
         axis=0,
     )  # (19, px)
 
-    def body(ci, acc):
-        slot = jax.lax.rem(ci, 2)
+    # a sub-block skipped entirely (no real rows) emits zero grads + gid -1
+    skip_gmat = jnp.concatenate(
+        [jnp.zeros((SUBK, N_GRAD), f32), jnp.full((SUBK, 1), -1.0, f32),
+         jnp.zeros((SUBK, N_GRAD_PAD - N_GRAD - 1), f32)], axis=1)
 
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            fdma(1 - slot, ci + 1).start()
-
-        fdma(slot, ci).wait()
-        f = fbuf[slot]  # (24, CH)
-        ft = f.T  # (CH, 24)
+    def sub_step(f_sub, row0, acc):
+        ft = f_sub.T  # (SUBK, 32)
 
         def col(i):
             return ft[:, i][:, None]
 
         def frow(i):
-            return f[i : i + 1, :]  # (1, CH)
+            return f_sub[i : i + 1, :]  # (1, SUBK)
 
-        idx = ci * CH + row  # window-relative index
+        idx = row0 + srow  # window-relative index
         in_range = (idx >= head) & (idx < count_w)
         xl = col(0) - ox
         yl = col(1) - oy
@@ -580,7 +650,7 @@ def _bwd_kernel(
         alpha = jnp.where(cand, alpha, 0.0)
         one_minus = 1.0 - alpha
 
-        cum = _cumprod0(one_minus, CH)
+        cum = _cumprod0(one_minus, SUBK)
         t_prefix = acc["t_cur"] * _shift_down(cum, 1, 1.0)
         terminate = (alpha > 0.0) & (t_prefix * one_minus < T_EPS)
         killed = _cumor0_mxu(jnp.where(terminate, 1.0, 0.0), tri)
@@ -598,7 +668,7 @@ def _bwd_kernel(
         basis = jnp.concatenate(
             [
                 frow(6), frow(7), frow(8),
-                jnp.ones((1, CH), f32),
+                jnp.ones((1, SUBK), f32),
                 frow(21), frow(22), frow(23),
                 a_t, frow(10), frow(11),
                 a_cx, frow(15), frow(18),
@@ -606,17 +676,16 @@ def _bwd_kernel(
                 a_cz, frow(17), frow(20),
             ],
             axis=0,
-        )  # (19, CH)
-        dL_dw = _mm(basis.T, dw_bank)  # (CH, px)
+        )  # (19, SUBK)
+        dL_dw = _mm(basis.T, dw_bank)  # (SUBK, px)
 
         # inclusive prefix of w*dL/dw via the triangular MXU matmul
-        # (replaces the 7-step shift-add tree)
-        pdot = acc["pre_dot"] + _mm(tri, w * dL_dw)  # (CH, px)
+        pdot = acc["pre_dot"] + _mm(tri, w * dL_dw)  # (SUBK, px)
         suffix = (s_tot - pdot) + gtf * tf
         dL_dalpha = jnp.where(include, t_prefix * dL_dw - suffix / one_minus, 0.0)
 
         # median routing (backward.cu:909-936)
-        pos = (idx - head) + jnp.zeros((CH, px), jnp.int32)
+        pos = (idx - head) + jnp.zeros((SUBK, px), jnp.int32)
         is_med = include & (pos == mp)
         is_med_f = jnp.where(is_med, 1.0, 0.0)
 
@@ -629,7 +698,7 @@ def _bwd_kernel(
         e_y = dL_dG * (-gdy * cc - gdx * cb)
 
         # all 25 per-contributor pixel reductions as ONE MXU matmul: each is
-        # a dot of one of 14 (CH, px) matrices against a per-pixel cotangent
+        # a dot of one of 14 (SUBK, px) matrices against a per-pixel cotangent
         # column from vbank (cross-lane VPU reduce trees are ~half the kernel)
         M = jnp.concatenate(
             [
@@ -640,11 +709,17 @@ def _bwd_kernel(
                 -0.5 * gdx * dx * dL_dG, -gdx * dy * dL_dG, -0.5 * gdy * dy * dL_dG,
             ],
             axis=0,
-        )  # (14*CH, px)
-        R = _mm(M, vbank)  # (14*CH, 16); HIGHEST — these are the gradients
+        )  # (14*SUBK, px)
+        # (14*SUBK, px) @ (px, 16). DEFAULT precision deliberately: operands
+        # round to bf16 but ACCUMULATION stays f32, so each 256-px gradient
+        # sum carries ~0.03% relative error (0.4%/sqrt(256)) — far below
+        # gradient noise — while HIGHEST would 6x the dominant MXU cost of
+        # the backward (the 16-wide N pads to 128, so this matmul is already
+        # 8x under-utilized).
+        R = _mm(M, vbank, precision=jax.lax.Precision.DEFAULT)
 
         def r(b, c):
-            return R[b * CH : (b + 1) * CH, c : c + 1]  # (CH, 1)
+            return R[b * SUBK : (b + 1) * SUBK, c : c + 1]  # (SUBK, 1)
 
         out_t = r(0, GD) + r(3, GMT)  # red(dL_dt)
         out_coord = [r(0, GX0 + k) + r(3, GMX0 + k) for k in range(3)]
@@ -669,44 +744,96 @@ def _bwd_kernel(
             r(0, GN0), r(0, GN0 + 1), r(0, GN0 + 2),
             out_t,
         ]
-        gmat = jnp.concatenate(cols, axis=1)  # (CH, 25)
+        gmat = jnp.concatenate(cols, axis=1)  # (SUBK, 25)
         # row 25: the gaussian id (streamed through the feature pack) for
         # the instance->gaussian reduction; -1 for masked window rows
         gid_col = jnp.where(in_range, col(24), -1.0)
         gmat = jnp.concatenate(
-            [gmat, gid_col, jnp.zeros((CH, N_GRAD_PAD - N_GRAD - 1), f32)], axis=1
+            [gmat, gid_col, jnp.zeros((SUBK, N_GRAD_PAD - N_GRAD - 1), f32)], axis=1
         )
-
-        oslot = jax.lax.rem(ci, 2)
-
-        @pl.when(ci >= 2)
-        def _():
-            odma(oslot, ci - 2).wait()
-
-        obuf[oslot] = gmat.T  # (32, CH)
-        odma(oslot, ci).start()
 
         # carries: the first terminator's t_prefix IS the new T (it excludes
         # itself and everything after), so no second masked cumprod is needed
         t_term = jnp.max(jnp.where(terminate, t_prefix, 0.0), axis=0, keepdims=True)
         any_term = jnp.max(jnp.where(terminate, 1.0, 0.0), axis=0, keepdims=True)
-        t_open = acc["t_cur"] * cum[CH - 1 : CH]
+        t_open = acc["t_cur"] * cum[SUBK - 1 : SUBK]
         t_new = jnp.where(any_term > 0.5, t_term, t_open)
         acc["t_cur"] = jnp.where(acc["done"] > 0.5, acc["t_cur"], t_new)
         acc["done"] = jnp.maximum(acc["done"], any_term)
-        acc["pre_dot"] = pdot[CH - 1 : CH]
+        acc["pre_dot"] = pdot[SUBK - 1 : SUBK]
+        return acc, gmat
+
+    def body(ci, acc):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            fdma(1 - slot, ci + 1).start()
+
+        fdma(slot, ci).wait()
+        f = fbuf[slot]  # (32, CH)
+
+        # sub-stepped compute (see _fwd_kernel); only REAL rows [lo, hi) of
+        # each sub-block enter the global compaction ring
+        for s in range(CH // SUBK):
+            row0 = ci * CH + s * SUBK
+            overlap = (row0 + SUBK > head) & (row0 < count_w)
+            acc, gmat = jax.lax.cond(
+                overlap,
+                lambda a, s=s, row0=row0: sub_step(
+                    f[:, s * SUBK : (s + 1) * SUBK], row0, a
+                ),
+                lambda a: (a, skip_gmat),
+                acc,
+            )
+            lo = jnp.clip(head - row0, 0, SUBK)
+            hi = jnp.clip(count_w - row0, 0, SUBK)
+            nreal = jnp.maximum(hi - lo, 0)
+
+            @pl.when(nreal > 0)
+            def _(gmat=gmat, lo=lo, nreal=nreal):
+                fill = fill_smem[0]
+                stage_put(gmat, lo, nreal, fill)
+                new_fill = fill + nreal
+
+                @pl.when(new_fill // CH > fill // CH)
+                def _():
+                    flush(fill // CH)
+
+                fill_smem[0] = new_fill
+
         return acc
 
     jax.lax.fori_loop(0, n_chunks, body, init)
 
-    # drain the last two output DMAs
-    @pl.when(n_chunks >= 2)
+    # final program: pad the open partial chunk with gid=-1 rows, flush it,
+    # and wait the last in-flight flushes (DMAs may stay in flight across
+    # the sequential grid otherwise)
+    @pl.when(t == pl.num_programs(0) - 1)
     def _():
-        odma(jax.lax.rem(n_chunks - 2, 2), n_chunks - 2).wait()
+        fill = fill_smem[0]
+        pad = jax.lax.rem(CH - jax.lax.rem(fill, CH), CH)
 
-    @pl.when(n_chunks >= 1)
-    def _():
-        odma(jax.lax.rem(n_chunks - 1, 2), n_chunks - 1).wait()
+        @pl.when(pad > 0)
+        def _():
+            fill_mod = jax.lax.rem(fill, RING)
+            written = jax.lax.rem(ring_lane - fill_mod + RING, RING) < pad
+            grow = jax.lax.broadcasted_iota(jnp.int32, (N_GRAD_PAD, RING), 0)
+            pad_vals = jnp.where(grow == N_GRAD, -1.0, 0.0)
+            stage[...] = jnp.where(written, pad_vals, stage[...])
+            flush(fill // CH)
+
+        total_flushes = (fill + pad) // CH
+
+        @pl.when(total_flushes >= 2)
+        def _():
+            k = total_flushes - 2
+            fl_dma(jax.lax.rem(k, 2), k).wait()
+
+        @pl.when(total_flushes >= 1)
+        def _():
+            k = total_flushes - 1
+            fl_dma(jax.lax.rem(k, 2), k).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile", "chunk", "interpret"))
@@ -729,14 +856,9 @@ def blend_backward_pallas(
 
     feat_sorted = _pad_lanes(sorted_features(binning, inputs), chunk)  # (24, B')
 
-    # per-tile chunk-aligned OUTPUT runs: tile t's window has
-    # cdiv(head + count, CH) chunks, head = start - align_down(start)
-    start = binning.tile_start
-    count = binning.tile_count
-    head = start - (start // chunk) * chunk
-    out_len = jnp.where(count > 0, (head + count + chunk - 1) // chunk, 0) * chunk
-    out_start = (jnp.cumsum(out_len) - out_len).astype(jnp.int32)
-    B_out = ((B + chunk - 1) // chunk) * chunk + T * chunk  # static bound
+    # the kernel compacts gradient rows globally (VMEM ring across the
+    # sequential grid): written rows = ceil(sum(count)/CH)*CH, bounded by
+    B_out = ((B + chunk - 1) // chunk) * chunk + chunk
 
     # pack cotangents + forward totals into one (T, 32, px) aux block
     # (row layout documented above _bwd_kernel)
@@ -764,18 +886,20 @@ def blend_backward_pallas(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # feat
-            pl.BlockSpec((1, N_AUX, px), lambda t, s, c, o: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_AUX, px), lambda t, s, c: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # grad (32, B_out)
         scratch_shapes=[
             pltpu.VMEM((2, N_FEAT, chunk), jnp.float32),
-            pltpu.VMEM((2, N_GRAD_PAD, chunk), jnp.float32),
+            pltpu.VMEM((N_GRAD_PAD, 2 * chunk), jnp.float32),  # compaction ring
+            pltpu.VMEM((2, N_GRAD_PAD, chunk), jnp.float32),  # flush buffers
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
 
@@ -787,12 +911,13 @@ def blend_backward_pallas(
         out_shape=jax.ShapeDtypeStruct((N_GRAD_PAD, B_out), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(binning.tile_start, binning.tile_count, out_start, feat_sorted, aux)
+    )(binning.tile_start, binning.tile_count, feat_sorted, aux)
 
     # gaussian ids arrive as gradient row 25 (streamed through the feature
-    # pack — no B-sized id gather). Rows past the total written length are
-    # never written by any tile (garbage): mask them by q >= total.
-    total = jnp.sum(out_len)
+    # pack — no B-sized id gather). Rows past the written chunks (garbage)
+    # are masked by q >= total.
+    total_rows = jnp.sum(binning.tile_count)
+    total = ((total_rows + chunk - 1) // chunk) * chunk
     q = jnp.arange(B_out, dtype=jnp.int32)
     gid_q = grad_inst[N_GRAD].astype(jnp.int32)
 

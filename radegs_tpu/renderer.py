@@ -98,6 +98,59 @@ def integrate_compiled(points3d, state, camera, bg, kernel_size=0.0,
     return out
 
 
+def _integrate_prep(state: GaussianState, camera, kernel_size):
+    scales, opacity = state.get_fused_scaling_opacity()
+    opacity = jnp.where(state.active[:, None], opacity, 0.0)
+    prep = preprocess_gaussians(
+        state.params.xyz, scales, state.get_rotation(), opacity,
+        state.get_features(), sh_degree=state.max_sh_degree, camera=camera,
+        kernel_size=kernel_size, active_sh_degree=state.active_sh_degree,
+        compute_invraycov=True,
+    )
+    return prep.replace(valid=prep.valid & state.active)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_size", "max_per_tile", "instance_budget")
+)
+def integrate_prepare_compiled(state, camera, bg, kernel_size=0.0,
+                               max_per_tile=1024, instance_budget=None):
+    """Points-independent half of integrate(): preprocess + binning +
+    phase-A image + median plane, reusable across point sets (the tetra
+    extractor's binary search re-evaluates 1+8 point sets per view)."""
+    from radegs_tpu.ops.integrate import integrate_view_cache
+
+    prep = _integrate_prep(state, camera, kernel_size)
+    if instance_budget is None:
+        instance_budget = default_instance_budget(state.capacity)
+    cache = integrate_view_cache(prep, camera, bg,
+                                 max_per_tile=max_per_tile,
+                                 instance_budget=instance_budget)
+    return prep, cache
+
+
+@jax.jit
+def integrate_points_compiled(points3d, prep, cache, camera):
+    """Phase B against a prepared cache; same outputs as integrate()."""
+    from radegs_tpu.ops.integrate import integrate_points_cached
+
+    W, H = camera.width, camera.height
+    out_color, pts, a_int, sdf, _ = integrate_points_cached(
+        points3d, prep, cache, camera
+    )
+    col_flat = out_color[0:3].reshape(3, H * W).T
+    pix_idx = jnp.where(pts.valid, pts.pixel[:, 1] * W + pts.pixel[:, 0], 0)
+    color_integrated = jnp.where(pts.valid[:, None], col_flat[pix_idx], 0.0)
+    return {
+        "render": out_color,
+        "alpha_integrated": a_int,
+        "color_integrated": color_integrated,
+        "point_coordinate": pts.xy,
+        "point_sdf": sdf,
+        "point_valid": pts.valid,
+    }
+
+
 def mark_visible(state: GaussianState, camera):
     """Frustum visibility mask (the reference's markVisible utility,
     rasterizer_impl.cu:176-188 / diff_gaussian_rasterization __init__.py:

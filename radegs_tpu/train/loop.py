@@ -238,11 +238,17 @@ def train(
     log_every: int = 50,
     callbacks=(),
     resume_state: "TrainState | None" = None,
+    mesh=None,
 ):
     """Host training loop reproducing train.py:91-214's schedule.
 
     ``resume_state``: a restored TrainState (utils.checkpoint) — training
     continues from its iteration counter (train.py:67-69 --start_checkpoint).
+
+    ``mesh``: optional 1-D jax.sharding.Mesh — training then runs the
+    explicit visibility-compressed multi-chip step (parallel/step.py:
+    gaussians sharded over the axis, tile-band rasterization, halo losses).
+    Decoupled appearance is not supported sharded.
     """
     import numpy as np
 
@@ -260,7 +266,34 @@ def train(
         ts = ts.replace(gaussians=gm.update_3d_filter(
             ts.gaussians, [c[0] for c in scene.cameras]))
 
-    step_fn = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=scene.extent)
+    if mesh is not None:
+        assert not mcfg.use_decoupled_appearance, (
+            "decoupled appearance is not supported by the sharded step"
+        )
+        from radegs_tpu.parallel.step import (
+            AXIS, band_layout, make_sharded_train_step, pad_gt,
+        )
+
+        n_dev = mesh.shape[AXIS]
+        _, _, H_pad = band_layout(H, n_dev)
+        padded_gts = [pad_gt(gt, H_pad) for _, gt, _ in scene.cameras]
+
+        # gt bound by view index so the padded copy is reused
+        def make_step(mcfg_, ocfg_, pcfg_, spatial_lr_scale):
+            inner = make_sharded_train_step(
+                mcfg_, ocfg_, pcfg_, spatial_lr_scale=spatial_lr_scale,
+                mesh=mesh, width=W, height=H,
+            )
+
+            def step(ts, cam, gt, bg_, vidx, width, height):
+                with mesh:
+                    return inner(ts, cam, padded_gts[int(vidx)], bg_)
+
+            return step
+    else:
+        make_step = make_train_step
+
+    step_fn = make_step(mcfg, ocfg, pcfg, spatial_lr_scale=scene.extent)
     rng = np.random.default_rng(seed)
     stack = []
     history = []
@@ -343,7 +376,7 @@ def train(
                       f"{pcfg.max_per_tile}", flush=True)
                 grew = True
             if grew:
-                step_fn = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=scene.extent)
+                step_fn = make_step(mcfg, ocfg, pcfg, spatial_lr_scale=scene.extent)
         prev_metrics = metrics
         # callbacks run EVERY iteration; m is floats at log points, else None
         # (callbacks must not force device values off-schedule — each fetch

@@ -81,7 +81,7 @@ def run_one(n_devices, base_gaussians, width, height, iters, warmup, gspmd=False
     step = make_sharded_train_step(
         mcfg, ocfg, pcfg, spatial_lr_scale=5.0, mesh=mesh,
         width=width, height=height,
-        vis_capacity=max(capacity // n_devices // 2, 1 << 12),
+        vis_capacity=max(capacity // n_devices, 1 << 12),  # lossless
     )
     _, _, H_pad = band_layout(height, n_devices)
     gt_p = pad_gt(gt, H_pad)

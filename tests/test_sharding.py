@@ -136,6 +136,27 @@ def test_visibility_compression_overflow_reported(setup):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_train_loop_with_mesh(setup):
+    """train(mesh=...) drives the sharded step end-to-end for a few
+    iterations (schedule, metrics fetch, overflow checks)."""
+    from radegs_tpu.parallel.step import make_mesh_1d
+    from radegs_tpu.train.loop import SceneLike, train
+
+    state, cam, gt = setup
+    mesh = make_mesh_1d(jax.devices())
+    ts, history = train(
+        SceneLike(cameras=[(cam, gt, 0)], extent=3.5),
+        jax.tree.map(jnp.copy, state),
+        ModelConfig(kernel_size=0.1),
+        OptimizationConfig(iterations=3, regularization_from_iter=0),
+        PipelineConfig(max_per_tile=64),
+        log_every=1,
+        mesh=mesh,
+    )
+    assert len(history) == 3
+    assert np.isfinite(history[-1]["loss"])
+
+
 def test_mark_visible(setup):
     state, cam, _ = setup
     vis = np.asarray(mark_visible(state, cam))
