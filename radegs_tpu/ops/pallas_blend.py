@@ -47,7 +47,11 @@ MAX_ALPHA = 0.99
 
 N_FEAT = 32  # 24 attribute rows + gaussian id (row 24) + pad to 8-multiple
 # (DMA slice shapes must be sublane-aligned: 25 rows crashes Mosaic)
-SUB = 32  # compute sub-block rows inside a 128-row DMA chunk
+import os as _os0
+
+# compute sub-block rows inside a 128-row DMA chunk: smaller skips more
+# masked boundary work but pays more cond/matmul-granularity overhead
+SUB = int(_os0.environ.get("RADEGS_SUB", "128"))
 N_OUT = 17
 # feature row indices in the packed (25, B) array
 FEAT_LAYOUT = dict(
@@ -189,7 +193,7 @@ def _fwd_kernel(
     # outputs
     out_ref,
     # scratch
-    fbuf, sems,
+    fbuf, subbuf, sems,
     *, chunk: int, tiles_x: int, tile: int,
 ):
     t = pl.program_id(0)
@@ -287,15 +291,18 @@ def _fwd_kernel(
         a_cx = frow(12) + frow(15) * xr + frow(18) * yr
         a_cy = frow(13) + frow(16) * xr + frow(19) * yr
         a_cz = frow(14) + frow(17) * xr + frow(20) * yr
+        # affine triples FIRST so the median matmul can slice basis[:12]
+        # at sublane offset 0 (Mosaic: concat/slice operands need aligned
+        # layout offsets)
         basis = jnp.concatenate(
             [
-                frow(6), frow(7), frow(8),  # rgb
-                jnp.ones((1, SUBK), f32),  # weight
-                frow(21), frow(22), frow(23),  # normal
                 a_t, frow(10), frow(11),  # t_ray affine coefs
                 a_cx, frow(15), frow(18),
                 a_cy, frow(16), frow(19),
                 a_cz, frow(17), frow(20),
+                frow(6), frow(7), frow(8),  # rgb
+                jnp.ones((1, SUBK), f32),  # weight
+                frow(21), frow(22), frow(23),  # normal
             ],
             axis=0,
         )  # (19, SUBK)
@@ -304,17 +311,17 @@ def _fwd_kernel(
         def affine(b, k):
             return b[k : k + 1] - pix_x * b[k + 1 : k + 2] - pix_y * b[k + 2 : k + 3]
 
-        acc["c_r"] += R[0:1]
-        acc["c_g"] += R[1:2]
-        acc["c_b"] += R[2:3]
-        acc["wsum"] += R[3:4]
-        acc["n0"] += R[4:5]
-        acc["n1"] += R[5:6]
-        acc["n2"] += R[6:7]
-        acc["dist"] += affine(R, 7)
-        acc["x0"] += affine(R, 10)
-        acc["x1"] += affine(R, 13)
-        acc["x2"] += affine(R, 16)
+        acc["c_r"] += R[12:13]
+        acc["c_g"] += R[13:14]
+        acc["c_b"] += R[14:15]
+        acc["wsum"] += R[15:16]
+        acc["n0"] += R[16:17]
+        acc["n1"] += R[17:18]
+        acc["n2"] += R[18:19]
+        acc["dist"] += affine(R, 0)
+        acc["x0"] += affine(R, 3)
+        acc["x1"] += affine(R, 6)
+        acc["x2"] += affine(R, 9)
 
         # median: last include-contributor with T > 0.5 (forward.cu:580,603);
         # the 4 picked values ride the same affine basis with the one-hot
@@ -325,7 +332,7 @@ def _fwd_kernel(
         chunk_med = jnp.max(cand_pos, axis=0, keepdims=True)  # (1, px)
         has = chunk_med >= 0
         sel = jnp.where(med_mask & (cand_pos == chunk_med), 1.0, 0.0)
-        S = _mm(basis[7:], sel)  # (12, px)
+        S = _mm(basis[:12], sel)  # (12, px)
 
         acc["med_t"] = jnp.where(has, affine(S, 0), acc["med_t"])
         acc["m0"] = jnp.where(has, affine(S, 3), acc["m0"])
@@ -359,11 +366,13 @@ def _fwd_kernel(
         for s in range(CH // SUBK):
             row0 = ci * CH + s * SUBK
             overlap = (row0 + SUBK > head) & (row0 < count_w)
+            # scratch roundtrip: normalizes the sub-slice's lane offset to 0
+            # (Mosaic rejects concat operands with nonzero minor offsets)
+            subbuf[...] = f[:, s * SUBK : (s + 1) * SUBK]
+            fs = subbuf[...]
             acc = jax.lax.cond(
                 overlap,
-                lambda a, s=s, row0=row0: sub_step(
-                    f[:, s * SUBK : (s + 1) * SUBK], row0, a
-                ),
+                lambda a, fs=fs, row0=row0: sub_step(fs, row0, a),
                 lambda a: a,
                 acc,
             )
@@ -432,6 +441,7 @@ def blend_forward_pallas(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, N_FEAT, chunk), jnp.float32),
+            pltpu.VMEM((N_FEAT, min(SUB, chunk)), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -492,7 +502,7 @@ def _bwd_kernel(
     # scatter-add sees ~sum(count) rows instead of sum(count) + T*CH pad
     grad_hbm,
     # scratch
-    fbuf, stage, flbuf, fsems, flsems, fill_smem,
+    fbuf, subbuf, stage, flbuf, fsems, flsems, fill_smem,
     *, chunk: int, tiles_x: int, tile: int, width: int, height: int,
 ):
     t = pl.program_id(0)
@@ -613,13 +623,13 @@ def _bwd_kernel(
     # this matches row k of the per-chunk contributor basis, so
     # dL/dw = basis^T @ dw_bank (the direct-path sum backward.cu:737-762)
     dw_bank = jnp.concatenate(
-        gc
+        [gd, -pix_x * gd, -pix_y * gd]
+        + [v for k in range(3) for v in (gx[k], -pix_x * gx[k], -pix_y * gx[k])]
+        + gc
         + [gw]
-        + gn
-        + [gd, -pix_x * gd, -pix_y * gd]
-        + [v for k in range(3) for v in (gx[k], -pix_x * gx[k], -pix_y * gx[k])],
+        + gn,
         axis=0,
-    )  # (19, px)
+    )  # (19, px) — row order matches the kernels' affine-first basis
 
     # a sub-block skipped entirely (no real rows) emits zero grads + gid -1
     skip_gmat = jnp.concatenate(
@@ -667,16 +677,16 @@ def _bwd_kernel(
         a_cz = frow(14) + frow(17) * xr + frow(20) * yr
         basis = jnp.concatenate(
             [
-                frow(6), frow(7), frow(8),
-                jnp.ones((1, SUBK), f32),
-                frow(21), frow(22), frow(23),
                 a_t, frow(10), frow(11),
                 a_cx, frow(15), frow(18),
                 a_cy, frow(16), frow(19),
                 a_cz, frow(17), frow(20),
+                frow(6), frow(7), frow(8),
+                jnp.ones((1, SUBK), f32),
+                frow(21), frow(22), frow(23),
             ],
             axis=0,
-        )  # (19, SUBK)
+        )  # (19, SUBK) — affine-first order, matches dw_bank
         dL_dw = _mm(basis.T, dw_bank)  # (SUBK, px)
 
         # inclusive prefix of w*dL/dw via the triangular MXU matmul
@@ -778,11 +788,12 @@ def _bwd_kernel(
         for s in range(CH // SUBK):
             row0 = ci * CH + s * SUBK
             overlap = (row0 + SUBK > head) & (row0 < count_w)
+            # scratch roundtrip: normalize sub-slice lane offset (see fwd)
+            subbuf[...] = f[:, s * SUBK : (s + 1) * SUBK]
+            fs = subbuf[...]
             acc, gmat = jax.lax.cond(
                 overlap,
-                lambda a, s=s, row0=row0: sub_step(
-                    f[:, s * SUBK : (s + 1) * SUBK], row0, a
-                ),
+                lambda a, fs=fs, row0=row0: sub_step(fs, row0, a),
                 lambda a: (a, skip_gmat),
                 acc,
             )
@@ -895,6 +906,7 @@ def blend_backward_pallas(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # grad (32, B_out)
         scratch_shapes=[
             pltpu.VMEM((2, N_FEAT, chunk), jnp.float32),
+            pltpu.VMEM((N_FEAT, min(SUB, chunk)), jnp.float32),
             pltpu.VMEM((N_GRAD_PAD, 2 * chunk), jnp.float32),  # compaction ring
             pltpu.VMEM((2, N_GRAD_PAD, chunk), jnp.float32),  # flush buffers
             pltpu.SemaphoreType.DMA((2,)),

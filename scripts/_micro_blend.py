@@ -84,7 +84,7 @@ def main():
         g = pb.blend_backward_pallas(binning, inp, fwd_out, cot, width=W, height=H)
         return bump + g["xy"][:1, :1] * 1e-20
 
-    B_out = ((1 << 20) + 127) // 128 * 128 + 7500 * 128
+    B_out = ((1 << 20) + 127) // 128 * 128 + 128  # rolling-compacted bound
     rng = np.random.default_rng(0)
     ginst = jnp.asarray(rng.normal(size=(32, B_out)).astype(np.float32))
     gids = jnp.asarray(rng.integers(0, 131072, B_out), jnp.int32)
