@@ -235,18 +235,39 @@ def bin_gaussians(
         n_culled = jnp.sum((slot_valid & ~keep).astype(jnp.int32))
         tid = jnp.where(keep, tid, num_tiles)
 
-    # --- sort by (tile, depth-rank) --- (radix sort, rasterizer_impl.cu:376-381)
-    sort_rank = jnp.where(tid < num_tiles, slot[:, 5], P)
-    tid_s, _, gid_s, orig_s = jax.lax.sort(
-        (tid, sort_rank, gid, jnp.arange(B, dtype=jnp.int32)), num_keys=2
+    # --- sort by (tile, depth-rank) with one SENTINEL entry per tile ---
+    # (radix sort, rasterizer_impl.cu:376-381). The sentinel sorts AFTER its
+    # tile's real instances (rank P+1), so per-tile ranges fall out of the
+    # sorted order itself: a cumsum + ONE unique-index scatter (~3 ms at
+    # B=1M) instead of the duplicate-index histogram scatter-add that
+    # profiled at ~9 ms (fusion.15) — identifyTileRanges re-imagined.
+    T_sent = num_tiles
+    tid_all = jnp.concatenate([tid, jnp.arange(T_sent, dtype=jnp.int32)])
+    rank_all = jnp.concatenate(
+        [jnp.where(tid < num_tiles, slot[:, 5], P),
+         jnp.full((T_sent,), P + 1, jnp.int32)]
     )
+    gid_all = jnp.concatenate([gid, jnp.full((T_sent,), -1, jnp.int32)])
+    orig_all = jnp.concatenate(
+        [jnp.arange(B, dtype=jnp.int32), jnp.full((T_sent,), -1, jnp.int32)]
+    )
+    tid_s, _, gid_s, orig_s = jax.lax.sort(
+        (tid_all, rank_all, gid_all, orig_all), num_keys=2
+    )
+    Bs = B + T_sent
 
-    # --- per-tile ranges --- (identifyTileRanges, rasterizer_impl.cu:151-173)
-    # histogram + exclusive cumsum instead of searchsorted: XLA lowers
-    # searchsorted to a vmapped while-loop (~25ms); a scatter-add is ~2ms
-    hist = jnp.zeros((num_tiles + 1,), jnp.int32).at[tid_s].add(1)[:num_tiles]
-    tile_start = (jnp.cumsum(hist) - hist).astype(jnp.int32)
-    tile_count_full = hist
+    # sentinel t sits at position s_pos[t]; real rows of tile t occupy
+    # (s_pos[t-1], s_pos[t]) exclusive of both sentinels
+    flag = (orig_s < 0) & (tid_s < num_tiles)
+    cumflag = jnp.cumsum(flag.astype(jnp.int32))  # inclusive
+    s_pos = (
+        jnp.zeros((T_sent + 1,), jnp.int32)
+        .at[jnp.where(flag, cumflag - 1, T_sent)]
+        .set(jnp.arange(Bs, dtype=jnp.int32))[:T_sent]
+    )
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_pos[:-1]])
+    tile_start = prev + 1
+    tile_count_full = s_pos - prev - 1
     tile_count = jnp.minimum(tile_count_full, max_per_tile)
     tile_overflow = jnp.sum(tile_count_full - tile_count)
     max_tile_count = jnp.max(tile_count_full)

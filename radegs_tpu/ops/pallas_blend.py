@@ -360,12 +360,17 @@ def _fwd_kernel(
         dma(slot, ci).wait()
         f = fbuf[slot]  # (32, CH): feature ROWS, instance lanes
 
-        # sub-stepped compute: most tiles have count << CH, so fully-masked
-        # 32-row sub-blocks of the window are skipped outright (the 128-row
-        # chunk floor was ~2.5x wasted work at bench tile occupancy)
+        # early termination (forward.cu:568-573 analogue at chunk
+        # granularity): once every pixel's transmittance closed, the
+        # remaining chunks contribute nothing — skip their compute (DMAs
+        # stay unconditional; they are not the cost)
+        active = jnp.min(acc["done"]) < 0.5
+
+        # sub-stepped compute: fully-masked sub-blocks of the window are
+        # skipped outright
         for s in range(CH // SUBK):
             row0 = ci * CH + s * SUBK
-            overlap = (row0 + SUBK > head) & (row0 < count_w)
+            overlap = active & (row0 + SUBK > head) & (row0 < count_w)
             # scratch roundtrip: normalizes the sub-slice's lane offset to 0
             # (Mosaic rejects concat operands with nonzero minor offsets)
             subbuf[...] = f[:, s * SUBK : (s + 1) * SUBK]
@@ -785,9 +790,13 @@ def _bwd_kernel(
 
         # sub-stepped compute (see _fwd_kernel); only REAL rows [lo, hi) of
         # each sub-block enter the global compaction ring
+        # early termination: once all pixels closed, remaining instances get
+        # zero gradients — emit gid=-1 ring rows without the math
+        active = jnp.min(acc["done"]) < 0.5
+
         for s in range(CH // SUBK):
             row0 = ci * CH + s * SUBK
-            overlap = (row0 + SUBK > head) & (row0 < count_w)
+            overlap = active & (row0 + SUBK > head) & (row0 < count_w)
             # scratch roundtrip: normalize sub-slice lane offset (see fwd)
             subbuf[...] = f[:, s * SUBK : (s + 1) * SUBK]
             fs = subbuf[...]

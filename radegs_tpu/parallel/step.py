@@ -42,8 +42,9 @@ from radegs_tpu.core.projection import preprocess_gaussians
 from radegs_tpu.models import gaussian_model as gm
 from radegs_tpu.ops.binning import default_instance_budget
 from radegs_tpu.ops.rasterize import rasterize
-from radegs_tpu.ops.ssim import ssim_map
-from radegs_tpu.train.optim import GroupLRs, adam_step, expon_lr
+from radegs_tpu.models.appearance import AppearanceNetwork, appearance_transform
+from radegs_tpu.ops.ssim import l1_loss, ssim_map
+from radegs_tpu.train.optim import BETA1, BETA2, EPS, GroupLRs, adam_step, expon_lr
 
 AXIS = "d"
 
@@ -167,7 +168,7 @@ def make_sharded_train_step(
     band_tiles, band_px, height_pad = band_layout(height, n)
     lam = ocfg.lambda_dssim
 
-    def device_step(ts, camera, gt_band, bg):
+    def device_step(ts, camera, gt_band, bg, view_idx):
         d = jax.lax.axis_index(AXIS)
         g = ts.gaussians
         Cn = g.capacity  # per-shard block
@@ -184,7 +185,7 @@ def make_sharded_train_step(
             1 << 12,
         )
 
-        def loss_fn(params, xy_offset, xy_abs):
+        def loss_fn(params, app_params, xy_offset, xy_abs):
             gg = g.replace(params=params)
             scales, opacity = gg.get_fused_scaling_opacity()
             opacity = jnp.where(gg.active[:, None], opacity, 0.0)
@@ -257,7 +258,18 @@ def make_sharded_train_step(
             # replication checking off — the all_gather/ppermute transposes
             # already deliver the cross-device contributions exactly).
             # The reported loss is psum'd OUTSIDE the grad.
-            l1 = jnp.sum(jnp.abs(img - gt_m)) / npix
+            if mcfg.use_decoupled_appearance and app_params is not None:
+                # the appearance CNN needs the full image: all-gather the
+                # bands (3 channels only), run replicated, count once (/n)
+                img_full = jax.lax.all_gather(img, AXIS, axis=1, tiled=True)[:, :height]
+                gt_full = jax.lax.all_gather(gt_m, AXIS, axis=1, tiled=True)[:, :height]
+                net = AppearanceNetwork()
+                transformed, (top, left, Hc, Wc) = appearance_transform(
+                    net, app_params, img_full, view_idx)
+                gt_crop = jax.lax.dynamic_slice(gt_full, (0, top, left), (3, Hc, Wc))
+                l1 = l1_loss(transformed, gt_crop) / n
+            else:
+                l1 = jnp.sum(jnp.abs(img - gt_m)) / npix
 
             # SSIM via 5-row halo: interior windows see true neighbor rows;
             # the global top/bottom edges see zeros — identical to the
@@ -319,9 +331,13 @@ def make_sharded_train_step(
             return loss_part, aux
 
         (loss_part, aux), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2), has_aux=True
-        )(g.params, zeros2, zeros2)
-        g_params, g_xy, g_xyabs = grads
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+        )(g.params, ts.app_params, zeros2, zeros2)
+        g_params, g_app, g_xy, g_xyabs = grads
+        # app_params are REPLICATED inputs: no collective sits in their
+        # gradient path, so each device holds only its 1/n share — psum it
+        if g_app is not None:
+            g_app = jax.tree.map(lambda x: jax.lax.psum(x, AXIS), g_app)
         loss = jax.lax.psum(loss_part, AXIS)
 
         xyz_lr = expon_lr(
@@ -337,6 +353,30 @@ def make_sharded_train_step(
             rotation=ocfg.rotation_lr,
         )
         g2 = adam_step(g, g_params, lrs)
+
+        # appearance Adam (replicated params; grads identical on every
+        # device by construction)
+        app_params, app_m, app_v = ts.app_params, ts.app_m, ts.app_v
+        if app_params is not None:
+            bc1 = 1.0 - BETA1 ** it.astype(jnp.float32)
+            bc2 = 1.0 - BETA2 ** it.astype(jnp.float32)
+
+            def upd(p_, gg_, m_, v_, lr_):
+                m_ = BETA1 * m_ + (1 - BETA1) * gg_
+                v_ = BETA2 * v_ + (1 - BETA2) * gg_ * gg_
+                return p_ - lr_ * (m_ / bc1) / (jnp.sqrt(v_ / bc2) + EPS), m_, v_
+
+            lr_tree = {
+                "net": jax.tree.map(
+                    lambda _: ocfg.appearance_network_lr, app_params["net"]
+                ),
+                "embeddings": ocfg.appearance_embeddings_lr,
+            }
+            out3 = jax.tree.map(upd, app_params, g_app, app_m, app_v, lr_tree)
+            pick = lambda i: jax.tree.map(
+                lambda t_: t_[i], out3, is_leaf=lambda x: isinstance(x, tuple)
+            )
+            app_params, app_m, app_v = pick(0), pick(1), pick(2)
 
         ndc_scale = jnp.array([width * 0.5, height * 0.5], jnp.float32)
         g2 = gm.add_densification_stats(
@@ -355,11 +395,12 @@ def make_sharded_train_step(
             "tile_overflow": jax.lax.psum(aux["tile_overflow"], AXIS),
             "n_instances": jax.lax.psum(aux["n_instances"], AXIS),
         }
-        return ts.replace(gaussians=g2, iteration=it), metrics
+        return ts.replace(gaussians=g2, app_params=app_params, app_m=app_m,
+                          app_v=app_v, iteration=it), metrics
 
     cache = {}
 
-    def step(ts, camera, gt_padded, bg):
+    def step(ts, camera, gt_padded, bg, view_idx=0):
         key = ts.gaussians.capacity
         if key not in cache:
             specs = _state_specs(ts)
@@ -367,11 +408,11 @@ def make_sharded_train_step(
             shard_step = jax.shard_map(
                 device_step,
                 mesh=mesh,
-                in_specs=(specs, P(), gt_spec, P()),
+                in_specs=(specs, P(), gt_spec, P(), P()),
                 out_specs=(specs, P()),
                 check_vma=False,
             )
             cache[key] = jax.jit(shard_step, donate_argnums=(0,))
-        return cache[key](ts, camera, gt_padded, bg)
+        return cache[key](ts, camera, gt_padded, bg, jnp.asarray(view_idx, jnp.int32))
 
     return step

@@ -247,8 +247,8 @@ def train(
 
     ``mesh``: optional 1-D jax.sharding.Mesh — training then runs the
     explicit visibility-compressed multi-chip step (parallel/step.py:
-    gaussians sharded over the axis, tile-band rasterization, halo losses).
-    Decoupled appearance is not supported sharded.
+    gaussians sharded over the axis, tile-band rasterization, halo losses;
+    decoupled appearance runs replicated on the gathered 3-channel image).
     """
     import numpy as np
 
@@ -267,9 +267,6 @@ def train(
             ts.gaussians, [c[0] for c in scene.cameras]))
 
     if mesh is not None:
-        assert not mcfg.use_decoupled_appearance, (
-            "decoupled appearance is not supported by the sharded step"
-        )
         from radegs_tpu.parallel.step import (
             AXIS, band_layout, make_sharded_train_step, pad_gt,
         )
@@ -287,7 +284,7 @@ def train(
 
             def step(ts, cam, gt, bg_, vidx, width, height):
                 with mesh:
-                    return inner(ts, cam, padded_gts[int(vidx)], bg_)
+                    return inner(ts, cam, padded_gts[int(vidx)], bg_, vidx)
 
             return step
     else:

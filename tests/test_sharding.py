@@ -164,3 +164,47 @@ def test_mark_visible(setup):
     assert vis.shape == act.shape
     assert vis[act].sum() > 0
     assert not vis[~act].any()
+
+
+def test_sharded_step_with_appearance(setup):
+    """Decoupled appearance in the sharded step: must match the
+    single-device appearance step (the CNN runs replicated on the gathered
+    image; its term is counted once via the 1/n split)."""
+    from radegs_tpu.parallel.step import (
+        band_layout,
+        make_mesh_1d,
+        make_sharded_train_step,
+        pad_gt,
+    )
+
+    state, cam, gt = setup
+    copy = lambda s: jax.tree.map(jnp.copy, s)
+    mcfg = ModelConfig(kernel_size=0.1, use_decoupled_appearance=True)
+    ocfg = OptimizationConfig(regularization_from_iter=0)
+    pcfg = PipelineConfig(max_per_tile=64)
+
+    ts0 = init_train_state(copy(state), jax.random.PRNGKey(0), cam.height,
+                           cam.width, use_appearance=True)
+    ref_step = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=3.5)
+    ts_ref, m_ref = ref_step(jax.tree.map(jnp.copy, ts0), cam, gt,
+                             jnp.zeros(3), 0, cam.width, cam.height)
+
+    mesh = make_mesh_1d(jax.devices())
+    step = make_sharded_train_step(
+        mcfg, ocfg, pcfg, spatial_lr_scale=3.5, mesh=mesh,
+        width=cam.width, height=cam.height,
+    )
+    _, _, H_pad = band_layout(cam.height, len(jax.devices()))
+    with mesh:
+        ts_sh, m_sh = step(jax.tree.map(jnp.copy, ts0), cam,
+                           pad_gt(gt, H_pad), jnp.zeros(3), 0)
+
+    assert abs(float(m_sh["loss"]) - float(m_ref["loss"])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(ts_sh.gaussians.params.xyz),
+        np.asarray(ts_ref.gaussians.params.xyz), atol=1e-5,
+    )
+    # appearance params updated identically
+    for a, b in zip(jax.tree.leaves(ts_sh.app_params),
+                    jax.tree.leaves(ts_ref.app_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
