@@ -83,6 +83,19 @@ def build_scene(seed=0, scene="100k"):
                     scaling=state.params.scaling + float(np.log(shrink))
                 )
             )
+        if scene == "dense":
+            # converged-scene analogue: trained surface splats are opaque
+            # (the 0.1 init would mean ~45-deep blending everywhere — a
+            # worst case no real run sustains)
+            state = state.replace(
+                params=state.params.replace(
+                    opacity=jnp.where(
+                        state.active[:, None],
+                        gm.inverse_sigmoid(jnp.float32(0.8)),
+                        state.params.opacity,
+                    )
+                )
+            )
         return gm.update_3d_filter(state, [cam])
 
     state = make_state(pts, cols)

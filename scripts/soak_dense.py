@@ -57,12 +57,18 @@ def main():
     cams = orbit_cameras(args.n_views, W, H)
     state = gm.update_3d_filter(state, cams)
 
-    # ground truth: renders of a jittered copy (stable targets that force
-    # real gradients + densification pressure)
+    # ground truth: renders of a jittered, OPAQUE copy (converged scenes
+    # have high-opacity surface splats; stable targets that force real
+    # gradients + densification pressure)
     gt_state = state.replace(
         params=state.params.replace(
             xyz=state.params.xyz + 0.01 * rng.normal(size=(state.capacity, 3)).astype(np.float32),
             f_dc=state.params.f_dc * 1.1,
+            opacity=jnp.where(
+                state.active[:, None],
+                gm.inverse_sigmoid(jnp.float32(0.85)),
+                state.params.opacity,
+            ),
         )
     )
     bg = jnp.zeros(3)
