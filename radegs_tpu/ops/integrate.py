@@ -310,12 +310,20 @@ def point_sdf_from_mid(pts: PointProjection, mid, tiles_x: int):
 
 def integrate_view_cache(prep: PreprocessOut, camera, bg,
                          max_per_tile: int = 1024,
-                         instance_budget: int | None = None, chunk: int = 8):
+                         instance_budget: int | None = None, chunk: int = 8,
+                         backend: str | None = None):
     """The POINTS-INDEPENDENT part of integrate: binning + the phase-A
     image + the per-pixel median plane. Marching-Tetrahedra re-evaluates
     the SDF at new points 1 + n_binary_steps times per view
     (mesh_extract_tetrahedra.py:90-102) — this cache makes those re-walks
-    pay only phase B."""
+    pay only phase B.
+
+    ``backend`` picks the phase-A implementation ("xla" | "pallas" |
+    "pallas_interpret"; None = auto, "pallas" on TPU). The Pallas path
+    streams the depth-sorted instance list directly, so the rectangular
+    (T, K) tile_gauss layout is skipped entirely."""
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     W, H = camera.width, camera.height
     if instance_budget is None:
         from radegs_tpu.ops.binning import default_instance_budget
@@ -323,12 +331,21 @@ def integrate_view_cache(prep: PreprocessOut, camera, bg,
         instance_budget = default_instance_budget(prep.xy.shape[0])
     binning = bin_gaussians(prep.xy, prep.radius, prep.depth, prep.valid, W, H,
                             instance_budget=instance_budget,
-                            max_per_tile=max_per_tile)
+                            max_per_tile=max_per_tile,
+                            need_tile_gauss=(backend == "xla"))
     # channel 8 (projected-point counts) is filled per point set later
-    out_color, mid = integrate_image(
-        prep, binning, bg, jnp.zeros((H, W), jnp.int32), width=W, height=H,
-        chunk=chunk,
-    )
+    if backend in ("pallas", "pallas_interpret"):
+        from radegs_tpu.ops.pallas_integrate import integrate_image_pallas
+
+        out_color, mid = integrate_image_pallas(
+            prep, binning, bg, jnp.zeros((H, W), jnp.int32), width=W, height=H,
+            interpret=(backend == "pallas_interpret"),
+        )
+    else:
+        out_color, mid = integrate_image(
+            prep, binning, bg, jnp.zeros((H, W), jnp.int32), width=W, height=H,
+            chunk=chunk,
+        )
     return {"binning": binning, "color": out_color, "mid": mid}
 
 
@@ -360,6 +377,10 @@ def integrate_points_cached(points3d, prep: PreprocessOut, cache, camera,
         )
         sdf = point_sdf_from_mid(pts, mid, tiles_x)
     else:
+        assert binning.tile_gauss is not None, (
+            "cache built for the pallas backend (no tile_gauss); use the "
+            "same backend for integrate_view_cache and integrate_points_cached"
+        )
         a_int, sdf = integrate_points(prep, binning, pts, mid, tiles_x, chunk=chunk,
                                       point_chunk=point_chunk)
     return out_color, pts, a_int, sdf, binning
@@ -379,7 +400,8 @@ def integrate(points3d, prep: PreprocessOut, camera, bg,
     """
     W, H = camera.width, camera.height
     cache = integrate_view_cache(prep, camera, bg, max_per_tile=max_per_tile,
-                                 instance_budget=instance_budget, chunk=chunk)
+                                 instance_budget=instance_budget, chunk=chunk,
+                                 backend=backend)
     out_color, pts, a_int, sdf, binning = integrate_points_cached(
         points3d, prep, cache, camera, chunk=chunk, point_chunk=point_chunk,
         backend=backend,

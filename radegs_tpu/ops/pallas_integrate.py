@@ -25,7 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from radegs_tpu.ops.binning import TileBinning, tile_grid
 from radegs_tpu.ops.integrate import OFFS_X, OFFS_Y, PointProjection, project_points
-from radegs_tpu.ops.pallas_blend import aligned_instance_layout
+from radegs_tpu.ops.pallas_blend import (
+    _pad_lanes,
+    aligned_instance_layout,
+    sorted_features,
+)
 
 ALPHA_EPS = 1.0 / 255.0
 T_EPS = 1e-4
@@ -248,3 +252,212 @@ def integrate_points_pallas(prep, binning: TileBinning, pts: PointProjection,
         .at[jnp.where(ok, pid_aligned, N)].set(jnp.where(ok, a_aligned, 1.0))[:N]
     )
     return jnp.where(pts.valid, a_orig, 1.0)
+NI_OUT = 16  # phase-A out rows: rgb(3) expd medd maxd alpha T0 mid(5) pad(3)
+
+
+def _iimg_kernel(
+    start_ref, count_ref,
+    feat_hbm,
+    out_ref,
+    fbuf, tbuf, abuf, dbuf, sems,
+    *, chunk: int, tiles_x: int, tile: int,
+):
+    """Phase-A integrate image (forward.cu:938-1133): per-tile sequential
+    walk over the depth-sorted contributor window, maintaining the 5
+    sub-pixel corner transmittances and the per-pixel median plane.
+
+    Two-phase structure per 128-contributor chunk: a VECTOR phase
+    precomputes every (contributor, corner) alpha/depth into two
+    (5*chunk, px) scratch banks, then a SERIAL fori walks contributors in
+    order doing only the cheap skip-gate recurrence (the reference's
+    per-sample early-termination semantics are order-dependent and cannot
+    be a cumprod — corners share one contributor ordering)."""
+    t = pl.program_id(0)
+    start = start_ref[t]
+    count = count_ref[t]
+    CH = chunk
+    px = tile * tile
+
+    tx = t % tiles_x
+    ty = t // tiles_x
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, px), 1)
+    # integrate samples at pixel CENTERS (+0.5, forward.cu:982)
+    pix_x = (tx * tile + lane % tile).astype(jnp.float32) + 0.5
+    pix_y = (ty * tile + lane // tile).astype(jnp.float32) + 0.5
+    row = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
+
+    # 128-aligned window read of the sorted feature pack (head rows masked)
+    start_al = (start // CH) * CH
+    head = start - start_al
+    count_w = head + count
+    n_chunks = jnp.where(count > 0, pl.cdiv(count_w, CH), 0)
+
+    def dma(slot, ci):
+        off = pl.multiple_of(start_al + ci * CH, CH)
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(off, CH)], fbuf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    f32 = jnp.float32
+    zrow = lambda: jnp.zeros((1, px), f32)
+    init = dict(
+        Ts=jnp.ones((8, px), f32),
+        c0=zrow(), c1=zrow(), c2=zrow(),
+        expd=zrow(), medd=zrow(), alpha=zrow(),
+        maxd=jnp.full((1, px), -jnp.inf, f32),
+        mid_dc=zrow(), mid_p0=zrow(), mid_p1=zrow(),
+        mid_x=zrow(), mid_y=zrow(),
+    )
+
+    def body(ci, acc):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma(1 - slot, ci + 1).start()
+
+        dma(slot, ci).wait()
+        f = fbuf[slot]  # (32, CH)
+        ft = f.T  # (CH, 32)
+        tbuf[...] = ft  # per-j scalar reads go through the ref (dynamic
+        # indexing of VALUES lowers poorly in Mosaic; sub-row ref reads
+        # are the established pattern, see _pint_kernel)
+
+        def col(i):
+            return ft[:, i][:, None]  # (CH, 1)
+
+        idx = ci * CH + row
+        in_range = ((idx >= head) & (idx < count_w)).astype(f32)  # (CH,1)
+
+        # ---- vector phase: per-corner alpha/depth for the whole chunk ----
+        # bank layout (5*CH, px): rows k*CH+j = corner k, contributor j.
+        # alpha is encoded pass-signed: >=0 -> passes with that alpha,
+        # <0 -> skip (out-of-range rows get -1 so they never contribute).
+        for k in range(5):
+            ox = [0.0, -0.5, 0.5, -0.5, 0.5][k]
+            oy = [0.0, -0.5, -0.5, 0.5, 0.5][k]
+            dx = col(0) - (pix_x + ox)
+            dy = col(1) - (pix_y + oy)
+            power = -0.5 * (col(2) * dx * dx + col(4) * dy * dy) - col(3) * dx * dy
+            al = jnp.minimum(MAX_ALPHA, col(5) * jnp.exp(jnp.minimum(power, 0.0)))
+            passes = (power <= 0.0) & (al >= ALPHA_EPS)
+            aval = jnp.where(passes, al, -1.0) * in_range + (in_range - 1.0)
+            dval = col(9) + col(10) * dx + col(11) * dy
+            abuf[pl.ds(k * CH, CH), :] = aval
+            dbuf[pl.ds(k * CH, CH), :] = dval
+
+        # ---- serial phase: the per-contributor skip-gate recurrence ----
+        zr = jnp.zeros((1, px), f32)
+
+        def sc(j, i):
+            # scalar feature i of contributor j, broadcast to (1, px)
+            return tbuf[pl.ds(j, 1), pl.ds(i, 1)] + zr
+
+        def sbody(j, acc):
+            a5 = jnp.concatenate(
+                [abuf[pl.ds(k * CH + j, 1), :] for k in range(5)]
+                + [jnp.full((3, px), -1.0, f32)], axis=0)  # (8, px)
+            d5 = jnp.concatenate(
+                [dbuf[pl.ds(k * CH + j, 1), :] for k in range(5)]
+                + [jnp.zeros((3, px), f32)], axis=0)
+            passes = a5 >= 0.0
+            al = jnp.maximum(a5, 0.0)
+            Ts = acc["Ts"]
+            test = Ts * (1.0 - al)
+            ok = passes & (test >= T_EPS)
+            acc["maxd"] = jnp.maximum(
+                acc["maxd"],
+                jnp.max(jnp.where(ok, d5, -jnp.inf), axis=0, keepdims=True),
+            )
+            T0_old = Ts[0:1]
+            a0 = al[0:1]
+            ok0 = ok[0:1]
+            w = jnp.where(ok0, a0 * T0_old, 0.0)
+            d0 = d5[0:1]
+            acc["c0"] += w * sc(j, 6)
+            acc["c1"] += w * sc(j, 7)
+            acc["c2"] += w * sc(j, 8)
+            acc["alpha"] += w
+            acc["expd"] += w * d0
+            is_med = ok0 & (T0_old > 0.5)
+            acc["medd"] = jnp.where(is_med, d0, acc["medd"])
+            acc["mid_dc"] = jnp.where(is_med, sc(j, 9), acc["mid_dc"])
+            acc["mid_p0"] = jnp.where(is_med, sc(j, 10), acc["mid_p0"])
+            acc["mid_p1"] = jnp.where(is_med, sc(j, 11), acc["mid_p1"])
+            acc["mid_x"] = jnp.where(is_med, sc(j, 0), acc["mid_x"])
+            acc["mid_y"] = jnp.where(is_med, sc(j, 1), acc["mid_y"])
+            acc["Ts"] = jnp.where(ok, test, Ts)
+            return acc
+
+        return jax.lax.fori_loop(0, CH, sbody, acc)
+
+    acc = jax.lax.fori_loop(0, n_chunks, body, init)
+    out = jnp.concatenate(
+        [acc["c0"], acc["c1"], acc["c2"], acc["expd"], acc["medd"],
+         jnp.where(jnp.isfinite(acc["maxd"]), acc["maxd"], 0.0), acc["alpha"],
+         acc["Ts"][0:1], acc["mid_dc"], acc["mid_p0"], acc["mid_p1"],
+         acc["mid_x"], acc["mid_y"], jnp.zeros((3, px), f32)],
+        axis=0,
+    )
+    out_ref[0] = out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "chunk", "interpret"))
+def integrate_image_pallas(prep, binning: TileBinning, bg, n_projected,
+                           *, width: int, height: int, chunk: int = 128,
+                           interpret: bool = False):
+    """Drop-in for ops.integrate.integrate_image on TPU (same returns:
+    9-channel image + tiled median-plane dict). The kernel reads the
+    depth-sorted instance list directly via 128-aligned windows — no
+    tile_gauss materialization needed (pass need_tile_gauss=False when
+    binning for this path)."""
+    tiles_x, tiles_y = tile_grid(width, height)
+    T = tiles_x * tiles_y
+    px = 256
+    inputs = (prep.xy, prep.conic, jnp.where(prep.valid, prep.opacity, 0.0),
+              prep.rgb, prep.view_point, prep.camera_plane, prep.ray_plane,
+              prep.normal, prep.ts)
+    feat = _pad_lanes(sorted_features(binning, inputs), chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, NI_OUT, px), lambda t, s, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 32, chunk), jnp.float32),
+            pltpu.VMEM((chunk, 32), jnp.float32),
+            pltpu.VMEM((5 * chunk, px), jnp.float32),
+            pltpu.VMEM((5 * chunk, px), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_iimg_kernel, chunk=chunk, tiles_x=tiles_x, tile=16),
+        out_shape=jax.ShapeDtypeStruct((T, NI_OUT, px), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(binning.tile_start, binning.tile_count, feat)
+
+    def untile(x):  # (T, px) -> (H, W)
+        img = x.reshape(tiles_y, tiles_x, 16, 16)
+        img = img.transpose(0, 2, 1, 3).reshape(tiles_y * 16, tiles_x * 16)
+        return img[:height, :width]
+
+    T0 = out[:, 7]
+    out_color = jnp.stack(
+        [untile(out[:, k] + T0 * bg[k]) for k in range(3)]
+        + [untile(out[:, 3]), untile(out[:, 4]),
+           jnp.zeros((height, width), jnp.float32),
+           untile(out[:, 5]), untile(out[:, 6]),
+           n_projected.astype(jnp.float32)],
+        axis=0,
+    )
+    mid = {"mid_dc": out[:, 8], "mid_p0": out[:, 9], "mid_p1": out[:, 10],
+           "mid_x": out[:, 11], "mid_y": out[:, 12]}
+    return out_color, mid

@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--trace", type=str, default=None,
                     help="capture a jax.profiler trace of the full step to DIR")
+    ap.add_argument("--scene", choices=["100k", "dense"], default="100k")
     args = ap.parse_args()
 
     import os
@@ -46,12 +47,12 @@ def main():
     from radegs_tpu.train.loop import compute_loss, init_train_state, make_train_step
 
     W, H = bench.WIDTH, bench.HEIGHT
-    state, cam, gt = bench.build_scene()
+    state, cam, gt = bench.build_scene(scene=args.scene)
     ts0 = init_train_state(state, jax.random.PRNGKey(0))
     bg = jnp.zeros(3)
     mcfg = ModelConfig(kernel_size=0.1)
     ocfg = OptimizationConfig(regularization_from_iter=0)
-    pcfg = PipelineConfig(max_per_tile=512)
+    pcfg = PipelineConfig(max_per_tile=512 if args.scene == "100k" else 1024)
     budget = min(default_instance_budget(state.capacity, pcfg.instance_multiplier),
                  1 << 24)
 

@@ -136,3 +136,9 @@ def test_pallas_integrate_full_parity(scene):
     assert np.abs(ax - ap).max() < 1e-5
     np.testing.assert_allclose(np.asarray(ox["point_sdf"]), np.asarray(op["point_sdf"]),
                                atol=1e-5)
+    # phase A (the 9-channel integrate image) also runs through the pallas
+    # kernel under pallas_interpret — compare the full image + color samples
+    np.testing.assert_allclose(np.asarray(ox["render"]), np.asarray(op["render"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ox["color_integrated"]),
+                               np.asarray(op["color_integrated"]), atol=1e-5)
