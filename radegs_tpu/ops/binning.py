@@ -135,6 +135,7 @@ def bin_gaussians(
     conic=None,
     opacity=None,
     need_tile_gauss: bool = True,
+    seg_rows: int = 1 << 21,
 ) -> TileBinning:
     """Build the tile work lists. All shapes static; jit/vmap/shard-friendly.
 
@@ -190,7 +191,6 @@ def bin_gaussians(
     # owner indexes compacted runs; recover gaussian id via the same order:
     # runs were laid out in gaussian-index order, so gather the i-th alive id.
     alive_ids = jnp.nonzero(alive, size=P, fill_value=P - 1)[0].astype(jnp.int32)
-    slot_valid = jnp.arange(B) < jnp.minimum(total, B)
 
     # ONE packed row gather: B-sized scalar gathers from in-graph sources hit
     # a ~20ms slow path each on TPU, a single (P,k) row gather is ~2-7ms.
@@ -203,37 +203,72 @@ def bin_gaussians(
         cols += [xy[alive_ids, 0], xy[alive_ids, 1], a[alive_ids], b[alive_ids],
                  c[alive_ids], tau[alive_ids]]
     packed = jnp.stack(cols, axis=1)  # (P, 6|12), rows in alive-rank order
-    slotp = packed[jnp.clip(owner, 0, P - 1)]  # (B, 6|12)
-    slot = slotp[:, :6].astype(jnp.int32)
-    gid = jnp.where(slot_valid, slot[:, 0], -1)
 
-    # slot offset within the gaussian's rect -> tile coordinates
-    within = jnp.arange(B, dtype=jnp.int32) - slot[:, 1]
-    w_safe = slot[:, 2]
-    # integer div/mod with a variable divisor has no TPU hardware path
-    # (~20ms/step at B=2^20); exact float division instead: the +0.5 keeps
-    # (within+0.5)/w strictly inside (q, q+1) for w <= 2^15, within < 2^23
-    q = jnp.floor((within.astype(jnp.float32) + 0.5) / slotp[:, 2])
-    q = q.astype(jnp.int32)
-    ty = slot[:, 4] + q
-    tx = slot[:, 3] + within - q * w_safe
-    tid = jnp.where(slot_valid, ty * tiles_x + tx, num_tiles)
+    # --- segmented expansion: the per-slot gather + decode + exact cull run
+    # per 2M-slot block under lax.cond, so blocks entirely past ``total``
+    # cost nothing. The budget bounds the PEAK instance count over views, so
+    # much of B is usually padding; the monolithic version paid the (B,12)
+    # gather and the cull math on every padding slot (measured 1.05 s of a
+    # 3.6 s dense step at B=16M with 4.7M real instances, BENCH_NOTES.md).
+    total_capped = jnp.minimum(total, B)
 
-    # --- exact per-tile cull (precise mode) ---
-    n_culled = jnp.zeros((), jnp.int32)
-    if precise:
-        slotf = slotp[:, 6:]  # (B, 6), from the shared gather above
-        x0 = (tx * tile).astype(jnp.float32)
-        y0 = (ty * tile).astype(jnp.float32)
-        qmin = _q_min_over_rect(
-            slotf[:, 0], slotf[:, 1], slotf[:, 2], slotf[:, 3], slotf[:, 4],
-            x0, x0 + (tile - 1), y0, y0 + (tile - 1),
-        )
-        # tiny slack so borderline alpha ~ 1/255 contributors never flip
-        # between binning (f32 here) and the blend's own threshold test
-        keep = qmin <= slotf[:, 5] * (1.0 + 1e-5) + 1e-6
-        n_culled = jnp.sum((slot_valid & ~keep).astype(jnp.int32))
-        tid = jnp.where(keep, tid, num_tiles)
+    def expand_seg(s0, s1):
+        n = s1 - s0
+
+        def live(_):
+            sl_idx = jnp.arange(s0, s1, dtype=jnp.int32)
+            sp = packed[jnp.clip(owner[s0:s1], 0, P - 1)]  # (n, 6|12)
+            sl = sp[:, :6].astype(jnp.int32)
+            svalid = sl_idx < total_capped
+            g = jnp.where(svalid, sl[:, 0], -1)
+            # slot offset within the gaussian's rect -> tile coordinates.
+            # integer div/mod with a variable divisor has no TPU hardware
+            # path (~20ms/step at B=2^20); exact float division instead:
+            # the +0.5 keeps (within+0.5)/w strictly inside (q, q+1) for
+            # w <= 2^15, within < 2^23
+            within = sl_idx - sl[:, 1]
+            qd = jnp.floor((within.astype(jnp.float32) + 0.5) / sp[:, 2])
+            qd = qd.astype(jnp.int32)
+            ty = sl[:, 4] + qd
+            tx = sl[:, 3] + within - qd * sl[:, 2]
+            t = jnp.where(svalid, ty * tiles_x + tx, num_tiles)
+            nc = jnp.zeros((), jnp.int32)
+            if precise:
+                # exact per-tile cull
+                sf = sp[:, 6:]
+                x0 = (tx * tile).astype(jnp.float32)
+                y0 = (ty * tile).astype(jnp.float32)
+                qmin = _q_min_over_rect(
+                    sf[:, 0], sf[:, 1], sf[:, 2], sf[:, 3], sf[:, 4],
+                    x0, x0 + (tile - 1), y0, y0 + (tile - 1),
+                )
+                # tiny slack so borderline alpha ~ 1/255 contributors never
+                # flip between binning (f32) and the blend's threshold test
+                keep = qmin <= sf[:, 5] * (1.0 + 1e-5) + 1e-6
+                nc = jnp.sum((svalid & ~keep).astype(jnp.int32))
+                t = jnp.where(keep, t, num_tiles)
+            r = jnp.where(t < num_tiles, sl[:, 5], P)
+            return t, g, r, nc
+
+        def dead(_):
+            return (jnp.full((n,), num_tiles, jnp.int32),
+                    jnp.full((n,), -1, jnp.int32),
+                    jnp.full((n,), P, jnp.int32),
+                    jnp.zeros((), jnp.int32))
+
+        if s0 == 0:
+            return live(0)  # always at least one live segment
+        return jax.lax.cond(s0 < total_capped, live, dead, 0)
+
+    parts = [expand_seg(s0, min(s0 + seg_rows, B))
+             for s0 in range(0, B, seg_rows)]
+    if len(parts) == 1:
+        tid, gid, rank_slot, n_culled = parts[0]
+    else:
+        tid = jnp.concatenate([p[0] for p in parts])
+        gid = jnp.concatenate([p[1] for p in parts])
+        rank_slot = jnp.concatenate([p[2] for p in parts])
+        n_culled = sum(p[3] for p in parts)
 
     # --- sort by (tile, depth-rank) with one SENTINEL entry per tile ---
     # (radix sort, rasterizer_impl.cu:376-381). The sentinel sorts AFTER its
@@ -244,8 +279,7 @@ def bin_gaussians(
     T_sent = num_tiles
     tid_all = jnp.concatenate([tid, jnp.arange(T_sent, dtype=jnp.int32)])
     rank_all = jnp.concatenate(
-        [jnp.where(tid < num_tiles, slot[:, 5], P),
-         jnp.full((T_sent,), P + 1, jnp.int32)]
+        [rank_slot, jnp.full((T_sent,), P + 1, jnp.int32)]
     )
     gid_all = jnp.concatenate([gid, jnp.full((T_sent,), -1, jnp.int32)])
     orig_all = jnp.concatenate(

@@ -856,17 +856,55 @@ def _bwd_kernel(
             fl_dma(jax.lax.rem(k, 2), k).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "tile", "chunk", "interpret"))
+def _reduce_grad_rows(grad_inst, total, P, seg_rows: int | None = None):
+    """Instance -> gaussian gradient reduction, (N_GRAD_PAD, B_out) -> (N_GRAD, P).
+
+    Deterministic row-oriented scatter-add (the lane-oriented variant is
+    ~10x slower), done per SEGMENT of rows under ``lax.cond`` so segments
+    entirely past ``total`` (the compacted row count the kernel actually
+    flushed) cost nothing. The budget bounds the PEAK instance count, so
+    typically most of B_out is empty padding — the dense-scene breakdown
+    measured the monolithic transpose+scatter at 2.29 s of a 3.58 s step
+    with ~4.7M real rows in a 16M budget (BENCH_NOTES.md). Cost becomes
+    proportional to real rows at 2M-row granularity.
+    """
+    B_out = grad_inst.shape[1]
+    if seg_rows is None:
+        seg_rows = 1 << 21
+    acc = jnp.zeros((P + 1, N_GRAD), jnp.float32)
+    for s0 in range(0, B_out, seg_rows):
+        s1 = min(s0 + seg_rows, B_out)
+
+        def scatter_seg(a, s0=s0, s1=s1):
+            gq = grad_inst[N_GRAD, s0:s1].astype(jnp.int32)
+            qq = jnp.arange(s0, s1, dtype=jnp.int32)
+            gs = jnp.where((qq < total) & (gq >= 0) & (gq < P), gq, P)
+            return a.at[gs].add(grad_inst[:N_GRAD, s0:s1].T)
+
+        if s0 == 0:
+            acc = scatter_seg(acc)  # always at least one real segment
+        else:
+            acc = jax.lax.cond(s0 < total, scatter_seg, lambda a: a, acc)
+    return acc[:P].T
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile", "chunk",
+                                             "interpret", "reduce"))
 def blend_backward_pallas(
     binning: TileBinning,
     inputs,
     fwd_out,
     cot,
     *, width: int, height: int, tile: int = 16, chunk: int = 128, interpret: bool = False,
+    reduce: bool = True,
 ):
     """Backward blend via the Pallas kernel: per-tile back-walk emitting
     per-instance gradients, reduced to per-Gaussian by a deterministic
-    XLA scatter-add (replaces backward.cu:631-1016 + atomicAdd)."""
+    XLA scatter-add (replaces backward.cu:631-1016 + atomicAdd).
+
+    ``reduce=False`` returns the raw per-instance gradient block
+    {"raw": (N_GRAD_PAD, B_out)} instead — benchmarking hook that isolates
+    the kernel from the transpose + segment reduction."""
     xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts = inputs
     P = xy.shape[0]
     B = binning.gauss_id.shape[0]
@@ -934,24 +972,15 @@ def blend_backward_pallas(
         interpret=interpret,
     )(binning.tile_start, binning.tile_count, feat_sorted, aux)
 
+    if not reduce:
+        return {"raw": grad_inst}
+
     # gaussian ids arrive as gradient row 25 (streamed through the feature
     # pack — no B-sized id gather). Rows past the written chunks (garbage)
     # are masked by q >= total.
     total_rows = jnp.sum(binning.tile_count)
     total = ((total_rows + chunk - 1) // chunk) * chunk
-    q = jnp.arange(B_out, dtype=jnp.int32)
-    gid_q = grad_inst[N_GRAD].astype(jnp.int32)
-
-    # deterministic segment reduction: instance -> gaussian (row-oriented
-    # scatter-add; the lane-oriented variant is ~10x slower)
-    gid_safe = jnp.where(
-        (q < total) & (gid_q >= 0) & (gid_q < P), gid_q, P
-    )
-    acc = (
-        jnp.zeros((P + 1, N_GRAD), jnp.float32)
-        .at[gid_safe].add(grad_inst[:N_GRAD].T)[:P]
-        .T
-    )
+    acc = _reduce_grad_rows(grad_inst, total, P)
 
     return dict(
         xy=acc[0:2].T,

@@ -296,6 +296,7 @@ def train(
     history = []
     start_it = int(ts.iteration)
     prev_metrics = None  # overflow is checked EVERY iteration, one step late
+    window_peak = 0.0  # peak n_instances since the last budget-shrink check
     for it in range(start_it + 1, ocfg.iterations + 1):
         if it % 1000 == 0:
             ts = ts.replace(gaussians=gm.oneup_sh_degree(ts.gaussians))
@@ -355,18 +356,25 @@ def train(
                 print(f"[radegs] instance overflow ({n_ovf:.0f}) at the "
                       f"{MAX_INSTANCE_BUDGET} budget cap — rendering truncated",
                       flush=True)
-            # shrink when the dense phase passes: a 4x-underused budget
-            # costs sort/scatter time proportional to the budget, not to
-            # the real instance count (checked at a slow cadence so one
-            # sparse view can't flap the budget down and straight back up)
-            if (not grew and it % 100 == 0 and pcfg.instance_multiplier > 8
-                    and float(prev_metrics["n_instances"]) * 4 < budget):
+            # shrink when the budget is oversized: every binning/backward
+            # stage costs time proportional to the BUDGET, not to the real
+            # instance count (BENCH_NOTES.md dense breakdown), so halving
+            # an underused budget is a ~2x step on those stages. Decided on
+            # the PEAK instance count over the last window (one sparse view
+            # must not flap the budget down and straight back up), halving
+            # only while peak * 2.5 < budget keeps >= 1.25x headroom after
+            # the halve; overflow growth above recovers from mispredictions.
+            window_peak = max(window_peak, float(prev_metrics["n_instances"]))
+            if (not grew and it % 100 == 0 and pcfg.instance_multiplier > 2
+                    and window_peak * 2.5 < budget):
                 pcfg = replace_cfg(pcfg,
                                    instance_multiplier=pcfg.instance_multiplier // 2)
                 print(f"[radegs] budget underused "
-                      f"({float(prev_metrics['n_instances']):.0f}/{budget}): shrinking "
+                      f"(peak {window_peak:.0f}/{budget}): shrinking "
                       f"to capacity x {pcfg.instance_multiplier}", flush=True)
                 grew = True
+            if it % 100 == 0:
+                window_peak = 0.0
             if t_ovf > 0 and pcfg.max_per_tile < 4096:
                 pcfg = replace_cfg(pcfg, max_per_tile=pcfg.max_per_tile * 2)
                 print(f"[radegs] tile overflow ({t_ovf:.0f}): growing max_per_tile to "

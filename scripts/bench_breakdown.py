@@ -117,6 +117,38 @@ def main():
         raw = rz._forward_dispatch(cfg, b, inputs)
         return jnp.sum(raw["color_raw"]) * 1e-20
 
+    def _fwd_and_cot(g):
+        prep = prep_of(g)
+        b = binning_of(prep)
+        cfg = rz.RasterCfg(width=W, height=H, backend=(
+            "pallas" if jax.default_backend() == "tpu" else "xla"))
+        inputs = (prep.xy, prep.conic, jnp.where(prep.valid, prep.opacity, 0.0),
+                  prep.rgb, prep.view_point, prep.camera_plane, prep.ray_plane,
+                  prep.normal, prep.ts)
+        fwd = rz._forward_dispatch(cfg, b, inputs)
+        cot = {k: jnp.ones_like(v) for k, v in fwd.items() if k != "med_pos"}
+        return b, inputs, fwd, cot
+
+    @jax.jit
+    def p_bwd_kernel(g):
+        # blend backward KERNEL only (per-instance gradient block, no
+        # transpose/segment reduction)
+        from radegs_tpu.ops.pallas_blend import blend_backward_pallas
+
+        b, inputs, fwd, cot = _fwd_and_cot(g)
+        raw = blend_backward_pallas(b, inputs, fwd, cot, width=W, height=H,
+                                    reduce=False)["raw"]
+        return jnp.sum(raw) * 1e-20
+
+    @jax.jit
+    def p_bwd_blend(g):
+        # + the instance->gaussian transpose + scatter reduction
+        from radegs_tpu.ops.pallas_blend import blend_backward_pallas
+
+        b, inputs, fwd, cot = _fwd_and_cot(g)
+        grads = blend_backward_pallas(b, inputs, fwd, cot, width=W, height=H)
+        return sum(jnp.sum(v) for v in grads.values()) * 1e-20
+
     @jax.jit
     def p_fwd_loss(g):
         loss, aux = compute_loss(
@@ -173,6 +205,10 @@ def main():
     t_bin = time_prefix(p_binning, "+binning")
     t_pack = time_prefix(p_pack, "+pack/align")
     t_fwd = time_prefix(p_blend_fwd, "+blend fwd")
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        t_bk = time_prefix(p_bwd_kernel, "+bwd kernel")
+        t_bb = time_prefix(p_bwd_blend, "+bwd reduce")
     t_loss = time_prefix(p_fwd_loss, "+loss tail")
     t_bwd = time_prefix(p_grads, "+backward")
     ts_run, t_full = time_full()
@@ -187,6 +223,9 @@ def main():
         "adam_stats": t_full - t_bwd,
         "full": t_full,
     }
+    if on_tpu:
+        stages["bwd_kernel_only"] = t_bk - t_fwd
+        stages["bwd_reduction"] = t_bb - t_bk
     print(json.dumps({k: round(v * 1e3, 2) for k, v in stages.items()}))
 
     if args.trace:

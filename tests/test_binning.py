@@ -142,3 +142,27 @@ def test_binning_tile_cap():
     want = np.argsort(depth, kind="stable")[:10]
     np.testing.assert_array_equal(kept, want)
     assert int(binning.tile_overflow) > 0
+
+
+def test_segmented_expansion_matches_monolithic():
+    """bin_gaussians' lax.cond slot segmentation (budget >> real instances)
+    must produce exactly the monolithic expansion, culling included."""
+    P, W, H = 80, 96, 64
+    xy = RNG.uniform(-10, 106, size=(P, 2)).astype(np.float32)
+    radius = RNG.uniform(0, 24, size=(P,)).astype(np.float32).round()
+    depth = RNG.uniform(0.5, 10, size=(P,)).astype(np.float32)
+    valid = RNG.uniform(size=P) > 0.2
+    conic = np.tile(np.asarray([0.02, 0.0, 0.02], np.float32), (P, 1))
+    conic += RNG.uniform(0, 0.01, size=(P, 3)).astype(np.float32)
+    opacity = RNG.uniform(0.05, 1.0, size=(P,)).astype(np.float32)
+
+    kw = dict(width=W, height=H, instance_budget=1 << 13, max_per_tile=64,
+              conic=jnp.asarray(conic), opacity=jnp.asarray(opacity))
+    args = (jnp.asarray(xy), jnp.asarray(radius), jnp.asarray(depth),
+            jnp.asarray(valid))
+    mono = bin_gaussians(*args, **kw, seg_rows=1 << 21)  # single segment
+    seg = bin_gaussians(*args, **kw, seg_rows=512)       # 16 segments
+    for f in ("gauss_id", "tile_id", "tile_start", "tile_count",
+              "sorted_orig", "n_instances", "n_culled", "tile_overflow"):
+        np.testing.assert_array_equal(np.asarray(getattr(mono, f)),
+                                      np.asarray(getattr(seg, f)), err_msg=f)

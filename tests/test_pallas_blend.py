@@ -92,3 +92,25 @@ def test_gof_abs_grad_side_channel_parity(scene):
 
     a, b = np.asarray(absg("xla")), np.asarray(absg("pallas_interpret"))
     assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 1e-5
+
+
+def test_segmented_grad_reduction_matches_monolithic():
+    """_reduce_grad_rows: the lax.cond row segmentation (budget >> real
+    rows) must be exactly the plain scatter-add."""
+    from radegs_tpu.ops.pallas_blend import N_GRAD, N_GRAD_PAD, _reduce_grad_rows
+
+    rng = np.random.default_rng(11)
+    P, B_out, total = 37, 4096, 900  # real rows stop inside segment 1
+    g = rng.normal(size=(N_GRAD_PAD, B_out)).astype(np.float32)
+    gid = rng.integers(-1, P, size=B_out)
+    g[N_GRAD] = gid.astype(np.float32)
+    gi = jnp.asarray(g)
+    mono = _reduce_grad_rows(gi, jnp.int32(total), P, seg_rows=B_out)
+    seg = _reduce_grad_rows(gi, jnp.int32(total), P, seg_rows=512)
+    np.testing.assert_allclose(np.asarray(mono), np.asarray(seg), rtol=0, atol=0)
+    # oracle: numpy accumulation over the masked prefix
+    want = np.zeros((P, N_GRAD), np.float32)
+    for i in range(total):
+        if 0 <= gid[i] < P:
+            want[gid[i]] += g[:N_GRAD, i]
+    np.testing.assert_allclose(np.asarray(mono).T, want, atol=1e-4)
