@@ -75,17 +75,26 @@ def _backproject_all(depth_maps, stride=1):
 
 
 def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
-              bounds=None, block=16, max_resolution=768, block_chunk=256):
+              bounds=None, block=16, max_resolution=768, block_chunk=512,
+              margin_voxels=None, io_dtype="f16"):
     """Integrate depth maps into a BLOCK-SPARSE TSDF grid.
 
-    Samples only 16^3-voxel blocks within one block of a back-projected
-    surface point (the o3d VoxelBlockGrid allocation strategy the reference
-    uses, mesh_extract.py:66-101). The extracted mesh is identical to dense
-    fusion: a surface (sign-change) cube needs a negative sample, i.e. a
-    voxel within `trunc` BEHIND some view's surface — always inside the
-    marked blocks — while the untouched far field has weight 0 and is
-    excluded by tsdf_to_mesh's validity mask either way. Versus dense
-    sampling this cuts the gather-bound sampling work ~10-40x.
+    Samples only 16^3-voxel blocks within ``margin_voxels`` (default
+    trunc + 2 voxels) of a back-projected surface point (the o3d
+    VoxelBlockGrid allocation strategy the reference uses,
+    mesh_extract.py:66-101). A surface (sign-change) cube needs a negative
+    sample — a voxel within `trunc` behind some view's surface, inside the
+    margin except under extreme grazing incidence — while the untouched
+    far field has weight 0 and is excluded by tsdf_to_mesh's validity mask
+    either way. Versus dense sampling this cuts the gather-bound sampling
+    AND the device->host result transfer (the dominant cost through the
+    TPU tunnel) ~20-80x; raise ``margin_voxels`` (e.g. to 2*block) for a
+    strict superset of the one-block dilation a VoxelBlockGrid uses.
+
+    ``io_dtype``: "f16" transfers sdf as float16 (+ weight as uint8) —
+    sdf is in [-1, 1], so f16 keeps ~3 decimal digits, far below the
+    voxel discretization error; pass "f32" for bit-identical-to-dense
+    values.
 
     Returns (tsdf (Z,Y,X), weight (Z,Y,X), origin (3,), voxel_size).
     """
@@ -114,21 +123,37 @@ def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
     # block grid (padded up so edge blocks are full)
     BX, BY, BZ = [-(-v // block) for v in (X, Y, Z)]
 
-    # --- active blocks: each surface point's block + its 26 neighbors
-    # (one-block dilation >= trunc + interpolation margin) ---
-    bid = np.floor((surf_pts - lo[None]) / (block * voxel_size)).astype(np.int64)
-    bid = np.unique(
-        np.clip(bid[:, 0], 0, BX - 1)
-        + np.clip(bid[:, 1], 0, BY - 1) * BX
-        + np.clip(bid[:, 2], 0, BZ - 1) * BX * BY
-    )
-    bx, by, bz = bid % BX, (bid // BX) % BY, bid // (BX * BY)
-    offs = np.array([(dx, dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
-                     for dx in (-1, 0, 1)], np.int64)
-    nb = np.stack([bx, by, bz], -1)[:, None, :] + offs[None]
-    ok = (nb >= 0).all(-1) & (nb[..., 0] < BX) & (nb[..., 1] < BY) & (nb[..., 2] < BZ)
-    nb = nb[ok]
-    active = np.unique(nb[:, 0] + nb[:, 1] * BX + nb[:, 2] * BX * BY)
+    # --- active blocks: every block overlapping any surface point's
+    # +-(trunc + 2 voxel) AABB. Tighter than a full 26-neighbor dilation
+    # (2-3x fewer blocks -> 2-3x less sampling AND less device->host
+    # transfer, the dominant cost through the TPU tunnel) yet still covers
+    # every voxel that can carry a surface sign change: a sign-change cube
+    # needs a negative corner, i.e. a voxel within trunc BEHIND a surface,
+    # plus one voxel of interpolation margin. The AABB spans at most 2
+    # blocks per axis (trunc = 8 voxels < block = 16), so enumerate the 8
+    # corner blocks.
+    if margin_voxels is None:
+        margin_voxels = trunc_multiplier + 2
+    margin = margin_voxels * voxel_size
+    bedge = block * voxel_size
+    blo = np.floor((surf_pts - margin - lo[None]) / bedge).astype(np.int64)
+    bhi = np.floor((surf_pts + margin - lo[None]) / bedge).astype(np.int64)
+    # collapse the ~15M per-pixel AABBs to their unique few thousand before
+    # the per-axis enumeration (memory)
+    pair = np.unique(np.concatenate([blo, bhi], 1), axis=0)
+    blo, bhi = pair[:, :3], pair[:, 3:]
+    K = int(np.ceil(2 * margin / bedge))  # max blocks spanned per axis - 1
+    ids = []
+    for kx in range(K + 1):
+        for ky in range(K + 1):
+            for kz in range(K + 1):
+                b = np.stack([
+                    np.clip(np.minimum(blo[:, 0] + kx, bhi[:, 0]), 0, BX - 1),
+                    np.clip(np.minimum(blo[:, 1] + ky, bhi[:, 1]), 0, BY - 1),
+                    np.clip(np.minimum(blo[:, 2] + kz, bhi[:, 2]), 0, BZ - 1),
+                ], -1)
+                ids.append(b[:, 0] + b[:, 1] * BX + b[:, 2] * BX * BY)
+    active = np.unique(np.concatenate(ids))
     NB = len(active)
 
     Es = jnp.asarray(np.stack([E for _, E, _ in depth_maps]))
@@ -161,11 +186,16 @@ def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
         sdfs, valids = jax.vmap(per_view)(Es, Ks, Ds)
         w = jnp.sum(valids.astype(jnp.float32), axis=0)
         s = jnp.sum(sdfs, axis=0) / jnp.maximum(w, 1.0)
-        return s, w
+        # compact transfer dtypes: the tunnel's device->host bandwidth is
+        # the dominant fusion cost; sdf is in [-1,1] (f16 keeps ~3 decimal
+        # digits, far below the voxel discretization) and weight is a view
+        # count <= 255
+        if io_dtype == "f16":
+            return s.astype(jnp.float16), w.astype(jnp.uint8)
+        return s, w.astype(jnp.uint8)
 
-    tsdf = np.zeros((BZ * block, BY * block, BX * block), np.float32)
-    weight = np.zeros_like(tsdf)
     abx, aby, abz = active % BX, (active // BX) % BY, active // (BX * BY)
+    outs = []
     for c0 in range(0, NB, block_chunk):
         sel = slice(c0, min(c0 + block_chunk, NB))
         n_sel = sel.stop - sel.start
@@ -174,13 +204,18 @@ def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
         if n_sel < block_chunk:  # pad to the static shape
             orig = np.concatenate(
                 [orig, np.zeros((block_chunk - n_sel, 3), np.float32)], 0)
-        s, w = sample_blocks(jnp.asarray(orig), Es, Ks, Ds)
-        s = np.asarray(s).reshape(block_chunk, block, block, block)
-        w = np.asarray(w).reshape(block_chunk, block, block, block)
-        for k in range(n_sel):
-            z0, y0, x0 = int(abz[sel][k]) * block, int(aby[sel][k]) * block, int(abx[sel][k]) * block
-            tsdf[z0:z0 + block, y0:y0 + block, x0:x0 + block] = s[k]
-            weight[z0:z0 + block, y0:y0 + block, x0:x0 + block] = w[k]
+        # keep results on device; fetch after ALL chunks are enqueued so
+        # transfers overlap compute instead of a sync round-trip per chunk
+        outs.append(sample_blocks(jnp.asarray(orig), Es, Ks, Ds))
+    s_all = np.concatenate([np.asarray(s) for s, _ in outs])[:NB]
+    w_all = np.concatenate([np.asarray(w) for _, w in outs])[:NB]
+    # vectorized block scatter (a python per-block loop costs ~30us x NB)
+    tsdf6 = np.zeros((BZ, BY, BX, block, block, block), np.float32)
+    weight6 = np.zeros((BZ, BY, BX, block, block, block), np.float32)
+    tsdf6[abz, aby, abx] = s_all.reshape(NB, block, block, block).astype(np.float32)
+    weight6[abz, aby, abx] = w_all.reshape(NB, block, block, block)
+    tsdf = tsdf6.transpose(0, 3, 1, 4, 2, 5).reshape(BZ * block, BY * block, BX * block)
+    weight = weight6.transpose(0, 3, 1, 4, 2, 5).reshape(BZ * block, BY * block, BX * block)
     return tsdf[:Z, :Y, :X], weight[:Z, :Y, :X], np.asarray(lo, np.float32), voxel_size
 
 
@@ -189,18 +224,18 @@ def tsdf_to_mesh(tsdf, weight, origin, voxel_size, min_weight=1.0):
     Z, Y, X = tsdf.shape
     occ = tsdf > 0
     valid = weight >= min_weight
-    # surface cubes: all 8 corners valid and signs mixed
-    def corners(a):
-        return np.stack(
-            [a[dz : Z - 1 + dz, dy : Y - 1 + dy, dx : X - 1 + dx]
-             for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
-            axis=-1,
-        )  # (..., 8) bit order x fastest? here dx fastest within (dz,dy,dx)
-
-    c_occ = corners(occ)
-    c_val = corners(valid)
-    n_in = c_occ.sum(-1)
-    surf = c_val.all(-1) & (n_in > 0) & (n_in < 8)
+    # surface cubes: all 8 corners valid and signs mixed. In-place
+    # accumulators instead of stacking 8 shifted (Z,Y,X) views (several GB
+    # of transient allocations at 768^3)
+    n_in = np.zeros((Z - 1, Y - 1, X - 1), np.uint8)
+    all_val = np.ones((Z - 1, Y - 1, X - 1), np.bool_)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                n_in += occ[dz : Z - 1 + dz, dy : Y - 1 + dy, dx : X - 1 + dx]
+                all_val &= valid[dz : Z - 1 + dz, dy : Y - 1 + dy, dx : X - 1 + dx]
+    surf = all_val & (n_in > 0) & (n_in < 8)
+    del n_in, all_val
     cz, cy, cx = np.nonzero(surf)
     if len(cz) == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
