@@ -14,6 +14,9 @@ depth_scale 1.0, depth_max 8.0, truncation 8 voxels
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 
 from radegs_tpu.mesh.tetmesh import marching_tetrahedra
@@ -102,6 +105,7 @@ def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
     import jax.numpy as jnp
 
     trunc = trunc_multiplier * voxel_size
+    _t_mark = time.perf_counter()
     surf_pts = _backproject_all(depth_maps)
     if bounds is None:
         if len(surf_pts) == 0:
@@ -155,6 +159,12 @@ def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
                 ids.append(b[:, 0] + b[:, 1] * BX + b[:, 2] * BX * BY)
     active = np.unique(np.concatenate(ids))
     NB = len(active)
+    _dbg = os.environ.get("RADEGS_TSDF_DEBUG")
+    if _dbg:
+        print(f"[tsdf] NB={NB} active blocks "
+              f"({NB * block ** 3 / 1e6:.0f}M voxels, "
+              f"{NB * block ** 3 * 3 / 1e6:.0f} MB f16+u8), "
+              f"mark {time.perf_counter() - _t_mark:.1f} s", flush=True)
 
     Es = jnp.asarray(np.stack([E for _, E, _ in depth_maps]))
     Ks = jnp.asarray(np.stack([K for _, _, K in depth_maps]))
@@ -207,8 +217,14 @@ def fuse_tsdf(depth_maps, voxel_size=0.002, trunc_multiplier=8.0, depth_max=8.0,
         # keep results on device; fetch after ALL chunks are enqueued so
         # transfers overlap compute instead of a sync round-trip per chunk
         outs.append(sample_blocks(jnp.asarray(orig), Es, Ks, Ds))
+    if _dbg:
+        _t_disp = time.perf_counter()
+        print(f"[tsdf] dispatched {len(outs)} chunks", flush=True)
     s_all = np.concatenate([np.asarray(s) for s, _ in outs])[:NB]
     w_all = np.concatenate([np.asarray(w) for _, w in outs])[:NB]
+    if _dbg:
+        print(f"[tsdf] compute+fetch {time.perf_counter() - _t_disp:.1f} s",
+              flush=True)
     # vectorized block scatter (a python per-block loop costs ~30us x NB)
     tsdf6 = np.zeros((BZ, BY, BX, block, block, block), np.float32)
     weight6 = np.zeros((BZ, BY, BX, block, block, block), np.float32)
