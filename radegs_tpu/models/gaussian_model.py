@@ -484,7 +484,7 @@ def save_gaussian_ply(path, state: GaussianState):
     cols = np.concatenate(
         [xyz, np.zeros_like(xyz), f_dc, f_rest, opac, scale, rot, filt], axis=1
     ).astype(np.float32)
-    arr = np.core.records.fromarrays(cols.T, dtype=[(nm, "f4") for nm in names])
+    arr = np.rec.fromarrays(cols.T, dtype=[(nm, "f4") for nm in names])
     plyio.write_ply(path, {"vertex": np.asarray(arr)})
 
 

@@ -154,6 +154,14 @@ def bin_gaussians(
     tiles_x, tiles_y = tile_grid(width, height, tile)
     num_tiles = tiles_x * tiles_y
     B = instance_budget
+    # the packed f32 gather below carries int columns (offsets up to B)
+    # exactly only through 2^24 — a bigger budget would silently corrupt
+    # tile decoding (f32 has 24 mantissa bits)
+    if B > (1 << 24):
+        raise ValueError(
+            f"instance_budget={B} exceeds 2^24; the packed f32 slot gather "
+            "cannot carry offsets exactly past that"
+        )
 
     precise = conic is not None and opacity is not None
     if precise:
@@ -194,8 +202,9 @@ def bin_gaussians(
 
     # ONE packed row gather: B-sized scalar gathers from in-graph sources hit
     # a ~20ms slow path each on TPU, a single (P,k) row gather is ~2-7ms.
-    # Precise mode rides the SAME gather (its int columns are < 2^23, so
-    # f32 carries them exactly) instead of paying a second B-row gather.
+    # Precise mode rides the SAME gather (its int columns are <= 2^24 — the
+    # exact-integer limit of f32, asserted against instance_budget above)
+    # instead of paying a second B-row gather.
     int_cols = [alive_ids, offsets[alive_ids], jnp.maximum(w[alive_ids], 1),
                 rx_min[alive_ids], ry_min[alive_ids], rank[alive_ids]]
     cols = [x.astype(jnp.float32) for x in int_cols]

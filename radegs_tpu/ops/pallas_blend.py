@@ -50,8 +50,20 @@ N_FEAT = 32  # 24 attribute rows + gaussian id (row 24) + pad to 8-multiple
 import os as _os0
 
 # compute sub-block rows inside a 128-row DMA chunk: smaller skips more
-# masked boundary work but pays more cond/matmul-granularity overhead
+# masked boundary work but pays more cond/matmul-granularity overhead.
+# Must divide the chunk size (asserted in _check_sub at kernel build):
+# `for s in range(CH // SUBK)` would silently skip CH % SUBK trailing rows.
 SUB = int(_os0.environ.get("RADEGS_SUB", "128"))
+
+
+def _check_sub(chunk: int) -> None:
+    subk = min(SUB, chunk)
+    if chunk % subk != 0:
+        raise ValueError(
+            f"RADEGS_SUB={SUB} does not divide chunk={chunk}; the sub-block "
+            f"loop would silently drop the trailing {chunk % subk} rows of "
+            "every DMA window. Pick a divisor of the chunk size."
+        )
 N_OUT = 17
 # feature row indices in the packed (25, B) array
 FEAT_LAYOUT = dict(
@@ -430,6 +442,7 @@ def blend_forward_pallas(
 ):
     """Forward blend via the Pallas kernel. Returns the same raw-accumulator
     dict as ops.rasterize._blend_forward_scan (channels-leading)."""
+    _check_sub(chunk)
     tiles_x, tiles_y = tile_grid(width, height, tile)
     T = tiles_x * tiles_y
     px = tile * tile
@@ -440,7 +453,7 @@ def blend_forward_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, N_OUT, px), lambda t, s, c: (t, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -905,6 +918,7 @@ def blend_backward_pallas(
     ``reduce=False`` returns the raw per-instance gradient block
     {"raw": (N_GRAD_PAD, B_out)} instead — benchmarking hook that isolates
     the kernel from the transpose + segment reduction."""
+    _check_sub(chunk)
     xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts = inputs
     P = xy.shape[0]
     B = binning.gauss_id.shape[0]
@@ -947,10 +961,10 @@ def blend_backward_pallas(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # feat
+            pl.BlockSpec(memory_space=pl.ANY),  # feat
             pl.BlockSpec((1, N_AUX, px), lambda t, s, c: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # grad (32, B_out)
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # grad (32, B_out)
         scratch_shapes=[
             pltpu.VMEM((2, N_FEAT, chunk), jnp.float32),
             pltpu.VMEM((N_FEAT, min(SUB, chunk)), jnp.float32),

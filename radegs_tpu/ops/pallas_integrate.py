@@ -223,9 +223,9 @@ def integrate_points_pallas(prep, binning: TileBinning, pts: PointProjection,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, NG_FEAT, chunk), jnp.float32),
             pltpu.VMEM((chunk, NG_FEAT), jnp.float32),
@@ -426,7 +426,7 @@ def integrate_image_pallas(prep, binning: TileBinning, bg, n_projected,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, NI_OUT, px), lambda t, s, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

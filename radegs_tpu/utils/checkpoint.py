@@ -61,8 +61,15 @@ def load_checkpoint(path: str, template_state, capacity: int | None = None):
     ckpt_cap = checkpoint_capacity(path)
     template_cap = template_state.gaussians.capacity
     if ckpt_cap != template_cap:
+        # Only the template's STRUCTURE matters (its contents are overwritten
+        # by the restore), so deactivate everything before a shrink — a
+        # template built from a large init cloud must not fail the
+        # resize_capacity n_active check (ADVICE r2).
+        g = template_state.gaussians
+        if ckpt_cap < template_cap:
+            g = g.replace(active=jax.numpy.zeros_like(g.active))
         template_state = template_state.replace(
-            gaussians=gm.resize_capacity(template_state.gaussians, ckpt_cap)
+            gaussians=gm.resize_capacity(g, ckpt_cap)
         )
     template = {"state": jax.device_get(template_state), "iteration": 0}
     ckpt = ocp.PyTreeCheckpointer().restore(path, item=template)

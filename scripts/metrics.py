@@ -41,9 +41,12 @@ def try_lpips():
 
         return LPIPSMetric()
     except FileNotFoundError:
-        pass
-    except Exception:
-        pass
+        pass  # no weights npz shipped — expected in this image
+    except Exception as e:
+        # Anything else (corrupt/mismatched npz) must be VISIBLE: silently
+        # switching LPIPS implementations changes published numbers.
+        print(f"WARNING: in-repo JAX LPIPS failed ({type(e).__name__}: {e}); "
+              "falling back to torch lpips", flush=True)
     try:
         import torch
         import lpips  # noqa: F401
