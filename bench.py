@@ -10,11 +10,30 @@ the denominator is a documented estimate of the CUDA reference's training
 throughput on its intended hardware: ~20 train-iters/s at 1600x1200 on an
 RTX-3090-class GPU (RaDe-GS paper reports 3DGS-comparable minutes/30k-iter
 training) = 38.4M rays/s.
+
+Wedge-proofing: the TPU tunnel occasionally wedges (CLAUDE.md) — a raw run
+then dies at backend init or hangs forever, losing the round's number
+(BENCH_r02). This script therefore self-orchestrates: the parent process
+probes the TPU with a 1-op subprocess under a timeout, runs the real
+benchmark in a child (RADEGS_BENCH_INNER=1) with a hard timeout, and on any
+failure waits out the tunnel's quiet-recovery window and retries. If the
+TPU never comes back it still prints a well-formed JSON line carrying an
+``error`` field instead of crashing.
+
+``kernel_parity_max_err`` in the JSON is an on-device correctness record:
+forward+backward Pallas outputs at a small size vs interpret mode (the
+XLA-executed kernel semantics) — every driver capture doubles as the
+on-TPU parity check for the MXU-precision and Mosaic-layout decisions
+(the reference's analogue: the debug snapshot mechanism,
+diff_gaussian_rasterization/__init__.py:86-93).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -31,6 +50,17 @@ ITERS = 10
 # density (a Mip-360-class run converges to 1-6M small splats)
 DENSE_N = 1_200_000
 DENSE_CAPACITY = 1 << 21
+
+PROBE_TIMEOUT = 110  # tunnel answers in seconds when healthy
+QUIET_WAIT = 310  # the wedge self-recovers after ~5 min of complete quiet
+PROBE_ATTEMPTS = 3
+RUN_ATTEMPTS = 2
+
+PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((128,128)) @ jnp.ones((128,128));"
+    "print('PROBE_OK', float(x[0,0]), jax.devices()[0].platform)"
+)
 
 
 def _surface_points(n, rng):
@@ -105,23 +135,87 @@ def build_scene(seed=0, scene="100k"):
     return state, cam, gt
 
 
-def main():
-    import argparse
+def kernel_parity_check():
+    """Forward+backward Pallas on-device vs interpret mode at a small size
+    (absorbed from scripts/_kernel_smoke.py). Returns the max error:
+    absolute for forward accumulators, relative (to each output's max) for
+    gradients; med_pos (int) counts as its mismatch fraction."""
+    import jax
+    import jax.numpy as jnp
 
+    from radegs_tpu.core.camera import Camera
+    from radegs_tpu.core.projection import preprocess_gaussians
+    from radegs_tpu.ops import pallas_blend as pb
+    from radegs_tpu.ops.binning import bin_gaussians
+
+    rng = np.random.default_rng(3)
+    P = 2000
+    W = H = 256
+    cam = Camera.look_at([0, 0.3, -4.0], [0, 0, 0], [0, 1, 0], 0.9, 0.9, W, H)
+
+    @jax.jit
+    def prep_fn(xyz, scales, quat, op, feat):
+        return preprocess_gaussians(xyz, scales, quat, op, feat, sh_degree=0,
+                                    camera=cam, kernel_size=0.1)
+
+    prep = prep_fn(
+        jnp.asarray(rng.normal(size=(P, 3)) * 0.9, jnp.float32),
+        jnp.asarray(rng.uniform(0.02, 0.25, (P, 3)), jnp.float32),
+        jnp.asarray(np.tile([1.0, 0, 0, 0], (P, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(0.05, 0.95, (P, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 1, (P, 1, 3)), jnp.float32),
+    )
+
+    @jax.jit
+    def bin_fn(prep):
+        sg = jax.lax.stop_gradient
+        return bin_gaussians(
+            sg(prep.xy), sg(prep.radius), sg(prep.depth), prep.valid, W, H,
+            instance_budget=1 << 15, max_per_tile=512,
+            conic=sg(prep.conic),
+            opacity=sg(jnp.where(prep.valid, prep.opacity, 0.0)),
+            need_tile_gauss=False)
+
+    binning = jax.block_until_ready(bin_fn(prep))
+    inputs = (prep.xy, prep.conic, jnp.where(prep.valid, prep.opacity, 0.0),
+              prep.rgb, prep.view_point, prep.camera_plane, prep.ray_plane,
+              prep.normal, prep.ts)
+
+    def fwd(interp):
+        return jax.jit(lambda b, inp: pb.blend_forward_pallas(
+            b, *inp, width=W, height=H, interpret=interp))
+
+    out_dev = jax.block_until_ready(fwd(False)(binning, inputs))
+    out_int = jax.block_until_ready(fwd(True)(binning, inputs))
+
+    cot = {k: (jnp.ones_like(v) if k != "med_pos" else None)
+           for k, v in out_dev.items()}
+
+    def bwd(interp):
+        return jax.jit(lambda b, inp, fo, c: pb.blend_backward_pallas(
+            b, inp, fo, c, width=W, height=H, interpret=interp))
+
+    g_dev = jax.block_until_ready(bwd(False)(binning, inputs, out_dev, cot))
+    g_int = jax.block_until_ready(bwd(True)(binning, inputs, out_dev, cot))
+
+    worst = 0.0
+    for k in out_dev:
+        a, b = np.asarray(out_dev[k]), np.asarray(out_int[k])
+        err = (a != b).mean() if k == "med_pos" else np.abs(a - b).max()
+        worst = max(worst, float(err))
+    for k in g_dev:
+        a, b = np.asarray(g_dev[k]), np.asarray(g_int[k])
+        err = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+        worst = max(worst, float(err))
+    return worst
+
+
+def inner_main(args):
     import jax
     import jax.numpy as jnp
 
     from radegs_tpu.train.config import ModelConfig, OptimizationConfig, PipelineConfig
-    from radegs_tpu.train.loop import init_train_state, make_train_step
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--trace", type=str, default=None,
-                    help="capture a jax.profiler trace of 3 steps to DIR "
-                         "(per-stage breakdown: scripts/bench_breakdown.py)")
-    ap.add_argument("--scene", choices=["100k", "dense"], default="100k",
-                    help="'dense': 1.2M surface splats at true 3-NN scales "
-                         "(converged-scene analogue, no scale hack)")
-    args = ap.parse_args()
+    from radegs_tpu.train.loop import autotune_pipeline, init_train_state, make_train_step
 
     state, cam, gt = build_scene(scene=args.scene)
     ts = init_train_state(state, jax.random.PRNGKey(0))
@@ -131,19 +225,39 @@ def main():
     ocfg = OptimizationConfig(regularization_from_iter=0)
     if args.scene == "100k":
         pcfg = PipelineConfig(max_per_tile=512)
+    elif args.auto:
+        # start from package defaults and let the training loop's budget
+        # machinery settle (demonstrates, rather than asserts, that the
+        # pinned config below is the converged steady state)
+        pcfg = PipelineConfig()
     else:
-        # the steady state the training loop's budget machinery converges to
-        # on this scene: this close-up view has 8.08M instances (the probe
-        # below reported 78k overflow at capacity*4), so grow-on-overflow
-        # settles at capacity*8 = 16M; max_per_tile rides the loop's 4096
-        # cap — at 1024 the silhouette tiles overflow and work is silently
-        # DROPPED, which flatters the timing
+        # the steady state the loop's budget machinery converges to on this
+        # scene (demonstrated by --auto): this close-up view has 8.08M
+        # instances (overflow probe reported 78k dropped at capacity*4), so
+        # grow-on-overflow settles at capacity*8 = 16M; max_per_tile rides
+        # the loop's 4096 cap — at 1024 the silhouette tiles overflow and
+        # work is silently DROPPED, which flatters the timing
         pcfg = PipelineConfig(max_per_tile=4096, instance_multiplier=8)
     step = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=5.0)
 
     # report dropped work so the number can't silently lie (keep the
     # returned state: the step donates its input buffers)
     ts, m0 = step(ts, cam, gt, bg, 0, WIDTH, HEIGHT)
+    if args.auto:
+        # settle loop: one recompile per config change, identical policy to
+        # train() (autotune_pipeline); stop at the first fixed point
+        for _ in range(8):
+            pcfg2, changed = autotune_pipeline(
+                pcfg, float(m0["n_overflow"]), float(m0["tile_overflow"]),
+                float(m0["n_instances"]), state.capacity, shrink_check=True,
+            )
+            if not changed:
+                break
+            pcfg = pcfg2
+            step = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=5.0)
+            ts, m0 = step(ts, cam, gt, bg, 0, WIDTH, HEIGHT)
+        print(f"# auto-tuned config: max_per_tile={pcfg.max_per_tile} "
+              f"instance_budget={pcfg.instance_budget}", flush=True)
     novf, tovf = float(m0["n_overflow"]), float(m0["tile_overflow"])
     if novf > 0 or tovf > 0:
         print(f"# WARNING overflow: instances {novf:.0f} tiles {tovf:.0f}",
@@ -168,18 +282,133 @@ def main():
                 ts, metrics = step(ts, cam, gt, bg, 0, WIDTH, HEIGHT)
             float(metrics["loss"])
 
+    parity = None
+    if not args.no_parity:
+        t0 = time.perf_counter()
+        parity = kernel_parity_check()
+        print(f"# kernel parity check: {parity:.3e} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+
     rays_per_s = WIDTH * HEIGHT / dt
     suffix = "" if args.scene == "100k" else f"_{args.scene}"
-    print(
-        json.dumps(
-            {
-                "metric": f"rays_per_s_per_chip_fwd_bwd_1600x1200{suffix}",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
-            }
-        )
-    )
+    rec = {
+        "metric": f"rays_per_s_per_chip_fwd_bwd_1600x1200{suffix}",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+    }
+    if parity is not None:
+        rec["kernel_parity_max_err"] = float(f"{parity:.3e}")
+    print(json.dumps(rec))
+
+
+def orchestrate(args, argv):
+    """Parent-process harness: probe -> run child -> retry through wedges.
+
+    Never exits nonzero for TPU unavailability: the final fallback prints a
+    well-formed JSON line with an ``error`` field so the driver's capture
+    always parses (VERDICT r2 #2)."""
+    # Another process holding the TPU makes every probe hang. Report (do NOT
+    # kill by pattern — see CLAUDE.md); the operator/driver must resolve it.
+    me = os.getpid()
+    try:
+        others = [
+            line for line in subprocess.run(
+                ["ps", "-eo", "pid,comm,etime"], capture_output=True, text=True,
+                timeout=10,
+            ).stdout.splitlines()[1:]
+            if "python" in line and int(line.split()[0]) != me
+        ]
+        if others:
+            print(f"# WARNING: other python processes alive (may hold the "
+                  f"TPU): {others}", file=sys.stderr, flush=True)
+    except Exception:
+        pass
+
+    suffix = "" if args.scene == "100k" else f"_{args.scene}"
+    metric = f"rays_per_s_per_chip_fwd_bwd_1600x1200{suffix}"
+    last_err = "unknown"
+    inner_timeout = 3600 if (args.scene == "dense" or args.trace) else 2700
+
+    attempt = 0
+    while attempt < RUN_ATTEMPTS:
+        attempt += 1
+        # --- probe until the tunnel answers (bounded) ---
+        probe_ok = False
+        for p in range(PROBE_ATTEMPTS):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", PROBE_SRC], capture_output=True,
+                    text=True, timeout=PROBE_TIMEOUT,
+                )
+                if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                    probe_ok = True
+                    break
+                last_err = f"probe rc={r.returncode}: {r.stderr.strip()[-300:]}"
+            except subprocess.TimeoutExpired:
+                last_err = f"probe hung >{PROBE_TIMEOUT}s (tunnel wedge)"
+            print(f"# {last_err}; waiting {QUIET_WAIT}s quiet "
+                  f"(probe {p + 1}/{PROBE_ATTEMPTS})", file=sys.stderr, flush=True)
+            time.sleep(QUIET_WAIT)
+        if not probe_ok:
+            break
+
+        # --- real run in a child with a hard timeout ---
+        env = dict(os.environ, RADEGS_BENCH_INNER="1")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + argv,
+                env=env, capture_output=True, text=True, timeout=inner_timeout,
+            )
+        except subprocess.TimeoutExpired as e:
+            last_err = f"bench run hung >{inner_timeout}s (tunnel wedge mid-run)"
+            print(f"# {last_err}; waiting {QUIET_WAIT}s quiet",
+                  file=sys.stderr, flush=True)
+            time.sleep(QUIET_WAIT)
+            continue
+        if r.stderr.strip():
+            print(r.stderr, file=sys.stderr, flush=True)
+        if r.returncode == 0 and '"metric"' in r.stdout:
+            print(r.stdout, end="" if r.stdout.endswith("\n") else "\n",
+                  flush=True)
+            return 0
+        last_err = (f"bench rc={r.returncode}: "
+                    f"{(r.stderr or r.stdout).strip()[-400:]}")
+        print(f"# {last_err}", file=sys.stderr, flush=True)
+        if "UNAVAILABLE" in last_err or "DEADLINE" in last_err:
+            time.sleep(QUIET_WAIT)
+            continue
+        break  # a real (non-tunnel) failure: retrying won't help
+
+    print(json.dumps({
+        "metric": metric, "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+        "error": last_err[:400],
+    }))
+    return 0
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", type=str, default=None,
+                    help="capture a jax.profiler trace of 3 steps to DIR "
+                         "(per-stage breakdown: scripts/bench_breakdown.py)")
+    ap.add_argument("--scene", choices=["100k", "dense"], default="100k",
+                    help="'dense': 1.2M surface splats at true 3-NN scales "
+                         "(converged-scene analogue, no scale hack)")
+    ap.add_argument("--auto", action="store_true",
+                    help="dense only: start from default PipelineConfig and "
+                         "run the training loop's budget grow/shrink policy "
+                         "to steady state before timing")
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the on-device kernel parity check")
+    args, _ = ap.parse_known_args()
+
+    if os.environ.get("RADEGS_BENCH_INNER"):
+        inner_main(args)
+    else:
+        sys.exit(orchestrate(args, sys.argv[1:]))
 
 
 if __name__ == "__main__":

@@ -50,6 +50,28 @@ def _bilinear_sample(img, xy, H, W):
     )
 
 
+def decimate_seed_points(points, scales, voxel):
+    """Voxel-dedup the tetrahedralization seeds: one representative (the
+    largest-scale member) per ``voxel``-sized cell.
+
+    The reference seeds 9 points per Gaussian (8 corners @3sigma + center,
+    gaussian_model.py:399-429) and pays CGAL Delaunay on all of them; on a
+    converged surface the corners of neighboring splats nearly coincide, so
+    a sub-sigma voxel dedup drops a large fraction of the points without
+    changing which edges cross the surface — cutting the dominant host
+    Delaunay term AND every SDF pass of the binary search. Keeping the max
+    member scale keeps the edge-length filter (mesh_extract_tetrahedra.py:
+    107-110) conservative."""
+    q = np.floor(points / voxel).astype(np.int64)
+    q -= q.min(axis=0)
+    dims = q.max(axis=0) + 1
+    key = (q[:, 0] * dims[1] + q[:, 1]) * dims[2] + q[:, 2]
+    order = np.lexsort((-scales, key))  # per cell: largest scale first
+    ks = key[order]
+    first = order[np.concatenate([[True], ks[1:] != ks[:-1]])]
+    return points[first], scales[first]
+
+
 def evaluate_cull_alpha(points, views, masks, state, kernel_size, bg,
                         max_per_tile=1024, instance_budget=None,
                         point_chunk_size=262_144, progress=None, caches=None):
@@ -107,14 +129,29 @@ def evaluate_cull_alpha(points, views, masks, state, kernel_size, bg,
 
 def extract_mesh_tetrahedra(state, views, kernel_size, bg, masks=None,
                             out_path=None, n_binary_steps=8, max_per_tile=1024,
-                            instance_budget=None, verbose=True):
+                            instance_budget=None, verbose=True,
+                            decimate="auto"):
     """Full extractor (mesh_extract_tetrahedra.py:59-112). Returns
-    (vertices, faces) and optionally writes out_path."""
+    (vertices, faces) and optionally writes out_path.
+
+    ``decimate``: voxel size for seed-point dedup before the Delaunay
+    ("auto" = half the median splat sigma, None/0 = reference-exact seeds).
+    """
     from scipy.spatial import Delaunay
 
     points, point_scales = get_tetra_points(state)
     if verbose:
         print(f"tetra points: {points.shape[0]}")
+    if decimate:
+        # point_scales are 3*sigma_max, so sigma/2 = median(scales)/6
+        voxel = (float(np.median(point_scales)) / 6.0
+                 if decimate == "auto" else float(decimate))
+        if voxel > 0:
+            points, point_scales = decimate_seed_points(
+                points, point_scales, voxel)
+            if verbose:
+                print(f"decimated to {points.shape[0]} seeds "
+                      f"(voxel {voxel:.4g})")
     cells = Delaunay(points).simplices.astype(np.int64)  # (M,4)
     if verbose:
         print(f"delaunay cells: {cells.shape[0]}")

@@ -6,15 +6,18 @@ XLA needs static shapes, so the GPU design ("allocate num_rendered entries,
 radix-sort 64-bit keys") is re-cast as:
 
 1. ``duplicate``: every Gaussian owns a contiguous run of `tiles_touched`
-   slots inside a fixed instance budget ``B`` (exclusive prefix sum of
-   tile-rect areas).  A scatter-of-ones + cumsum recovers, for each slot,
-   the owning Gaussian; the slot's offset inside the run enumerates the
-   rect's tiles row-major — exactly duplicateWithKeys (rasterizer_impl.cu:
-   70-111) without atomics or dynamic allocation.
-2. ``sort``: one stable two-key lexicographic sort by (tile_id, depth_rank)
-   where depth_rank comes from a single global depth argsort — equivalent
-   to the reference's 64-bit [tile | float-bits(depth)] radix key
-   (rasterizer_impl.cu:102-107) but without 64-bit keys.
+   slots inside a fixed instance budget ``B`` — runs laid out in DEPTH
+   order (exclusive prefix sum of tile-rect areas over the depth argsort).
+   A scatter-of-ones + cumsum recovers, for each slot, the owning Gaussian;
+   the slot's offset inside the run enumerates the rect's tiles row-major —
+   exactly duplicateWithKeys (rasterizer_impl.cu:70-111) without atomics or
+   dynamic allocation.
+2. ``sort``: because runs are already depth-ordered, ONE stable single-key
+   sort by tile_id alone produces (tile, depth) order — equivalent to the
+   reference's 64-bit [tile | float-bits(depth)] radix key
+   (rasterizer_impl.cu:102-107). (A two-key lexicographic lax.sort hits
+   XLA:TPU's slow multi-operand comparator path; the single-key sort is the
+   fast path — measured ~5x at B=16M, scripts/_micro_sort.py.)
 3. ``ranges``: per-tile [start, count) via histogram + cumsum —
    identifyTileRanges (rasterizer_impl.cu:151-173).
 4. ``gather``: a [T, K] per-tile index matrix (front-to-back order, -1 pad)
@@ -64,9 +67,9 @@ class TileBinning(NamedTuple):
     n_overflow: Any  # () int32 — instances dropped by the B budget
     tile_overflow: Any  # () int32 — instances dropped by the K cap
     max_tile_count: Any  # () int32
-    # permutation metadata for instance->gaussian gradient reduction:
+    # permutation metadata (diagnostics; no hot-path consumers):
     sorted_orig: Any  # (B,) int32 expand slot of each sorted instance
-    expand_offsets: Any  # (P,) int32 expand-run start per gaussian (<= B)
+    expand_offsets: Any  # (P,) int32 expand-run start per DEPTH-ORDERED gaussian (<= B)
     n_culled: Any  # () int32 — instances removed by the exact tile test
 
 
@@ -181,37 +184,42 @@ def bin_gaussians(
     alive = valid & (radius > 0) & (touched > 0)
     touched = jnp.where(alive, touched, 0)
 
+    # Lay expansion runs out in DEPTH order (near -> far; dead gaussians get
+    # key inf so they sort last and own no slots): for any tile, the
+    # subsequence of slots hitting it is then already depth-ordered, so the
+    # (tile, depth) sort below needs only the tile key + stability.
+    depth_key = jnp.where(alive, depth, jnp.inf)
+    perm = jnp.argsort(depth_key)  # (P,) gaussian ids, near -> far
+    touched_p = touched[perm]
+    alive_p = alive[perm]
+
     # exclusive prefix sum -> slot offsets (cub InclusiveSum, rasterizer_impl.cu:350)
-    offsets = jnp.cumsum(touched) - touched
-    total = offsets[-1] + touched[-1]
+    offsets_p = jnp.cumsum(touched_p) - touched_p
+    total = offsets_p[-1] + touched_p[-1]
     n_overflow = jnp.maximum(total - B, 0)
 
-    # depth ranks replace float-bit radix keys: one global argsort
-    depth_key = jnp.where(alive, depth, jnp.inf)
-    depth_order = jnp.argsort(depth_key)  # (P,) gaussian ids, near -> far
-    rank = jnp.zeros((P,), jnp.int32).at[depth_order].set(jnp.arange(P, dtype=jnp.int32))
-
     # --- expand runs: slot -> owning gaussian (scatter + cumsum trick) ---
-    starts = jnp.where(alive & (offsets < B), offsets, B)
+    starts = jnp.where(alive_p & (offsets_p < B), offsets_p, B)
     ones = jnp.zeros((B + 1,), jnp.int32).at[starts].add(1)
     owner_count = jnp.cumsum(ones[:-1])  # (B,) = #runs started at or before slot
-    owner = owner_count - 1  # index into "alive runs in order" == gaussian index
+    owner = owner_count - 1  # index into "alive runs in depth order"
     # owner indexes compacted runs; recover gaussian id via the same order:
-    # runs were laid out in gaussian-index order, so gather the i-th alive id.
-    alive_ids = jnp.nonzero(alive, size=P, fill_value=P - 1)[0].astype(jnp.int32)
+    # runs are laid out in depth order, so the i-th alive position of perm.
+    alive_pos = jnp.nonzero(alive_p, size=P, fill_value=P - 1)[0].astype(jnp.int32)
+    ids = perm[alive_pos]  # gaussian id of the i-th (depth-ordered) run
 
     # ONE packed row gather: B-sized scalar gathers from in-graph sources hit
     # a ~20ms slow path each on TPU, a single (P,k) row gather is ~2-7ms.
     # Precise mode rides the SAME gather (its int columns are <= 2^24 — the
     # exact-integer limit of f32, asserted against instance_budget above)
     # instead of paying a second B-row gather.
-    int_cols = [alive_ids, offsets[alive_ids], jnp.maximum(w[alive_ids], 1),
-                rx_min[alive_ids], ry_min[alive_ids], rank[alive_ids]]
+    int_cols = [ids, offsets_p[alive_pos], jnp.maximum(w[ids], 1),
+                rx_min[ids], ry_min[ids]]
     cols = [x.astype(jnp.float32) for x in int_cols]
     if precise:
-        cols += [xy[alive_ids, 0], xy[alive_ids, 1], a[alive_ids], b[alive_ids],
-                 c[alive_ids], tau[alive_ids]]
-    packed = jnp.stack(cols, axis=1)  # (P, 6|12), rows in alive-rank order
+        cols += [xy[ids, 0], xy[ids, 1], a[ids], b[ids],
+                 c[ids], tau[ids]]
+    packed = jnp.stack(cols, axis=1)  # (P, 5|11), rows in depth-run order
 
     # --- segmented expansion: the per-slot gather + decode + exact cull run
     # per 2M-slot block under lax.cond, so blocks entirely past ``total``
@@ -226,8 +234,8 @@ def bin_gaussians(
 
         def live(_):
             sl_idx = jnp.arange(s0, s1, dtype=jnp.int32)
-            sp = packed[jnp.clip(owner[s0:s1], 0, P - 1)]  # (n, 6|12)
-            sl = sp[:, :6].astype(jnp.int32)
+            sp = packed[jnp.clip(owner[s0:s1], 0, P - 1)]  # (n, 5|11)
+            sl = sp[:, :5].astype(jnp.int32)
             svalid = sl_idx < total_capped
             g = jnp.where(svalid, sl[:, 0], -1)
             # slot offset within the gaussian's rect -> tile coordinates.
@@ -244,7 +252,7 @@ def bin_gaussians(
             nc = jnp.zeros((), jnp.int32)
             if precise:
                 # exact per-tile cull
-                sf = sp[:, 6:]
+                sf = sp[:, 5:]
                 x0 = (tx * tile).astype(jnp.float32)
                 y0 = (ty * tile).astype(jnp.float32)
                 qmin = _q_min_over_rect(
@@ -256,13 +264,11 @@ def bin_gaussians(
                 keep = qmin <= sf[:, 5] * (1.0 + 1e-5) + 1e-6
                 nc = jnp.sum((svalid & ~keep).astype(jnp.int32))
                 t = jnp.where(keep, t, num_tiles)
-            r = jnp.where(t < num_tiles, sl[:, 5], P)
-            return t, g, r, nc
+            return t, g, nc
 
         def dead(_):
             return (jnp.full((n,), num_tiles, jnp.int32),
                     jnp.full((n,), -1, jnp.int32),
-                    jnp.full((n,), P, jnp.int32),
                     jnp.zeros((), jnp.int32))
 
         if s0 == 0:
@@ -272,30 +278,29 @@ def bin_gaussians(
     parts = [expand_seg(s0, min(s0 + seg_rows, B))
              for s0 in range(0, B, seg_rows)]
     if len(parts) == 1:
-        tid, gid, rank_slot, n_culled = parts[0]
+        tid, gid, n_culled = parts[0]
     else:
         tid = jnp.concatenate([p[0] for p in parts])
         gid = jnp.concatenate([p[1] for p in parts])
-        rank_slot = jnp.concatenate([p[2] for p in parts])
-        n_culled = sum(p[3] for p in parts)
+        n_culled = sum(p[2] for p in parts)
 
-    # --- sort by (tile, depth-rank) with one SENTINEL entry per tile ---
-    # (radix sort, rasterizer_impl.cu:376-381). The sentinel sorts AFTER its
-    # tile's real instances (rank P+1), so per-tile ranges fall out of the
-    # sorted order itself: a cumsum + ONE unique-index scatter (~3 ms at
-    # B=1M) instead of the duplicate-index histogram scatter-add that
-    # profiled at ~9 ms (fusion.15) — identifyTileRanges re-imagined.
+    # --- stable sort by tile with one SENTINEL entry per tile ---
+    # (radix sort, rasterizer_impl.cu:376-381). Slots are generated in depth
+    # order, so a STABLE single-key sort by tile id alone yields (tile,
+    # depth) order. Sentinels are appended AFTER all real slots, so
+    # stability also puts each sentinel after its tile's real instances and
+    # per-tile ranges fall out of the sorted order itself: a cumsum + ONE
+    # unique-index scatter (~3 ms at B=1M) instead of the duplicate-index
+    # histogram scatter-add (~9 ms) — identifyTileRanges re-imagined.
+    # Culled + padding slots carry tid=num_tiles and sort to the very end.
     T_sent = num_tiles
     tid_all = jnp.concatenate([tid, jnp.arange(T_sent, dtype=jnp.int32)])
-    rank_all = jnp.concatenate(
-        [rank_slot, jnp.full((T_sent,), P + 1, jnp.int32)]
-    )
     gid_all = jnp.concatenate([gid, jnp.full((T_sent,), -1, jnp.int32)])
     orig_all = jnp.concatenate(
         [jnp.arange(B, dtype=jnp.int32), jnp.full((T_sent,), -1, jnp.int32)]
     )
-    tid_s, _, gid_s, orig_s = jax.lax.sort(
-        (tid_all, rank_all, gid_all, orig_all), num_keys=2
+    tid_s, gid_s, orig_s = jax.lax.sort(
+        (tid_all, gid_all, orig_all), num_keys=1, is_stable=True
     )
     Bs = B + T_sent
 
@@ -346,7 +351,7 @@ def bin_gaussians(
         tile_overflow=tile_overflow,
         max_tile_count=max_tile_count,
         sorted_orig=orig_s,
-        expand_offsets=jnp.minimum(jnp.where(alive, offsets, B), B).astype(jnp.int32),
+        expand_offsets=jnp.minimum(jnp.where(alive_p, offsets_p, B), B).astype(jnp.int32),
         n_culled=n_culled,
     )
 
@@ -356,3 +361,21 @@ def default_instance_budget(num_points: int, multiplier: int = 8, minimum: int =
     power of two so recompiles are rare as P grows."""
     b = max(minimum, num_points * multiplier)
     return 1 << (b - 1).bit_length()
+
+
+BUDGET_SEG = 1 << 21  # segment granularity of the budget-priced stages
+MAX_INSTANCE_BUDGET = 1 << 24  # f32-exact slot bound + HBM guard
+
+
+def round_budget(need: int, minimum: int = 1 << 14) -> int:
+    """Round a measured instance demand up to a compile bucket: powers of
+    two below one segment (small scenes — halving granularity is fine
+    there), 2M-segment multiples above (every budget-priced stage runs per
+    2M-row segment under lax.cond, so a 10.5M budget really costs ~10.5M,
+    not 16M — the power-of-2 rule wasted up to 2x on sort+pack+reduction
+    at dense-scene scale, BENCH_NOTES.md)."""
+    need = max(int(need), minimum)
+    if need <= BUDGET_SEG:
+        return 1 << (need - 1).bit_length()
+    segs = -(-need // BUDGET_SEG)
+    return min(segs * BUDGET_SEG, MAX_INSTANCE_BUDGET)

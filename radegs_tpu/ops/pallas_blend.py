@@ -902,18 +902,23 @@ def _reduce_grad_rows(grad_inst, total, P, seg_rows: int | None = None):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile", "chunk",
-                                             "interpret", "reduce"))
+                                             "interpret", "reduce", "reduce_impl"))
 def blend_backward_pallas(
     binning: TileBinning,
     inputs,
     fwd_out,
     cot,
     *, width: int, height: int, tile: int = 16, chunk: int = 128, interpret: bool = False,
-    reduce: bool = True,
+    reduce: bool = True, reduce_impl: str = "auto",
 ):
     """Backward blend via the Pallas kernel: per-tile back-walk emitting
-    per-instance gradients, reduced to per-Gaussian by a deterministic
-    XLA scatter-add (replaces backward.cu:631-1016 + atomicAdd).
+    per-instance gradients, reduced to per-Gaussian deterministically
+    (replaces backward.cu:631-1016 + atomicAdd).
+
+    ``reduce_impl``: "scatter" = segmented XLA row scatter-add
+    (_reduce_grad_rows); "mxu" = sort + one-hot MXU matmul segment-sum
+    (ops/segsum.py — wins at multi-M instance counts where scatter cost
+    scales with the target table size); "auto" picks by budget size.
 
     ``reduce=False`` returns the raw per-instance gradient block
     {"raw": (N_GRAD_PAD, B_out)} instead — benchmarking hook that isolates
@@ -994,7 +999,16 @@ def blend_backward_pallas(
     # are masked by q >= total.
     total_rows = jnp.sum(binning.tile_count)
     total = ((total_rows + chunk - 1) // chunk) * chunk
-    acc = _reduce_grad_rows(grad_inst, total, P)
+    if reduce_impl == "auto":
+        # the sort+MXU path amortizes only at scale: below ~2M instance
+        # slots the scatter's ~18 ms/Mrow into a small table already wins
+        reduce_impl = "mxu" if B_out > (1 << 21) else "scatter"
+    if reduce_impl == "mxu":
+        from radegs_tpu.ops.segsum import reduce_grad_rows_mxu
+
+        acc = reduce_grad_rows_mxu(grad_inst, total, P, interpret=interpret)
+    else:
+        acc = _reduce_grad_rows(grad_inst, total, P)
 
     return dict(
         xy=acc[0:2].T,

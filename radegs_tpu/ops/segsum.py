@@ -1,0 +1,169 @@
+"""Sort-based MXU segment-sum: per-Gaussian gradient reduction without
+scatters.
+
+Replaces the deterministic row scatter-add of ``pallas_blend._reduce_grad_rows``
+(the TPU stand-in for the reference's ``atomicAdd`` accumulation in
+backward.cu:631-1016) for large instance counts, where scatter cost scales
+with the TARGET table size (~150-200 ms/Mrow into multi-M-row tables,
+CLAUDE.md cost table; the dense-scene breakdown measured the reduction at
+~700 ms of a 1.85 s step).
+
+Design (TPU-first, no scatter anywhere):
+
+1. ``lax.sort`` the per-instance gradient rows by gaussian id — one
+   variadic single-key sort (sorts are the cheap data-movement primitive
+   on TPU; a scatter is not).
+2. After the sort each gaussian's rows are CONTIGUOUS.  A Pallas kernel
+   walks windows of ``win`` consecutive gaussian ids; for each chunk of
+   ``chunk`` sorted rows it builds the one-hot membership matrix
+   S[j, i] = (gid[i] == win0 + j) in VMEM and reduces with ONE MXU matmul
+   ``rows (32, C) @ S^T (win, C) -> (32, win)``.  The one-hot is exact in
+   any precision, alignment/garbage lanes fall out of the window and
+   contribute zero, and accumulation order is deterministic (lane order
+   within a chunk, chunk order within a window) — no atomics, no
+   read-modify-write.
+
+Out-of-window rows cost nothing: window w's row range [row_start[w],
+row_start[w+1]) comes from a binary search over the sorted keys, so the
+kernel's work is proportional to the REAL row count plus one chunk per
+non-empty window.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radegs_tpu.ops.pallas_blend import N_GRAD, N_GRAD_PAD
+
+
+def _searchsorted_left(keys, queries):
+    """First index where keys[i] >= q, for sorted i32 ``keys`` (B,) and i32
+    ``queries`` (Q,).  Unrolled binary search (jnp.searchsorted's default
+    'scan' method is sequential on TPU)."""
+    B = keys.shape[0]
+    lo = jnp.zeros_like(queries)
+    hi = jnp.full_like(queries, B)
+    for _ in range(max(1, B.bit_length())):
+        mid = (lo + hi) >> 1
+        km = keys[jnp.clip(mid, 0, B - 1)]
+        go_right = km < queries
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
+def _segsum_kernel(rs_ref, rows_hbm, out_ref, fbuf, sems, *, chunk: int, win: int):
+    w = pl.program_id(0)
+    r0 = rs_ref[w]
+    r1 = rs_ref[w + 1]
+    C = chunk
+    r0a = (r0 // C) * C  # chunk-aligned window start (head lanes mask to 0)
+    nch = jnp.where(r1 > r0a, pl.cdiv(r1 - r0a, C), 0)
+
+    def dma(slot, k):
+        off = pl.multiple_of(r0a + k * C, C)
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(off, C)], fbuf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(nch > 0)
+    def _():
+        dma(0, 0).start()
+
+    base = (w * win) * 1.0  # gids < 2^24: exact in f32
+    jrow = jax.lax.broadcasted_iota(jnp.float32, (win, C), 0)
+
+    def body(k, acc):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nch)
+        def _():
+            dma(1 - slot, k + 1).start()
+
+        dma(slot, k).wait()
+        blk = fbuf[slot]  # (32, C): rows 0..24 grads, row 25 sorted gid
+        gid = blk[N_GRAD:N_GRAD + 1, :]  # (1, C)
+        # one-hot membership: S[j, i] = (gid[i] == base + j); rows outside
+        # [base, base+win) — window-head alignment lanes, next window's
+        # rows, dead/pad lanes (gid = n_win*win) — match nothing
+        s = jnp.where(jrow == gid - base, 1.0, 0.0)  # (win, C)
+        # contract the C lanes of both operands (an "NT" matmul, like
+        # flash-attention's q @ k^T).  One-hot operand is exact in bf16 but
+        # the gradient rows are not: HIGHEST keeps f32 operand precision.
+        part = jax.lax.dot_general(
+            blk, s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (32, win)
+        return acc + part
+
+    acc0 = jnp.zeros((N_GRAD_PAD, win), jnp.float32)
+    out_ref[...] = jax.lax.fori_loop(0, nch, body, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("P", "win", "chunk", "interpret"))
+def reduce_grad_rows_mxu(grad_inst, total, P: int, *, win: int = 512,
+                         chunk: int = 1024, interpret: bool = False):
+    """Instance -> gaussian gradient reduction, (N_GRAD_PAD, B_out) -> (N_GRAD, P).
+
+    Drop-in replacement for ``pallas_blend._reduce_grad_rows`` (same
+    contract: gid in row N_GRAD as f32, rows past ``total`` or with gid
+    outside [0, P) ignored), built on sort + MXU one-hot matmuls instead of
+    a scatter-add.
+    """
+    B_out = grad_inst.shape[1]
+    n_win = -(-P // win)
+    dead = n_win * win  # first key value past every window
+    assert dead + win <= (1 << 24), "gid keys must stay f32-exact"
+
+    q = jnp.arange(B_out, dtype=jnp.int32)
+    gq = grad_inst[N_GRAD].astype(jnp.int32)
+    live = (q < total) & (gq >= 0) & (gq < P)
+    key = jnp.where(live, gq, dead)
+    # Dead lanes can carry NaN/Inf garbage (degenerate-instance gradients);
+    # the one-hot matmul multiplies them by 0 and NaN*0 = NaN would poison
+    # the whole chunk's accumulation — zero the VALUES too, not just the key
+    # (the scatter path gets this for free by dumping dead rows into a
+    # dropped row).
+    ops = (key,) + tuple(jnp.where(live, grad_inst[i], 0.0)
+                         for i in range(N_GRAD))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    key_s = sorted_ops[0]
+
+    Bp = -(-B_out // chunk) * chunk
+    pad = Bp - B_out
+    key_sp = jnp.pad(key_s, (0, pad), constant_values=dead)
+    zero = jnp.zeros((Bp,), jnp.float32)
+    rows = jnp.stack(
+        [jnp.pad(r, (0, pad)) for r in sorted_ops[1:]]
+        + [key_sp.astype(jnp.float32)]
+        + [zero] * (N_GRAD_PAD - N_GRAD - 1),
+        axis=0,
+    )  # (32, Bp)
+
+    queries = jnp.arange(n_win + 1, dtype=jnp.int32) * win
+    row_start = _searchsorted_left(key_s, queries).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_win,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((N_GRAD_PAD, win), lambda w, rs: (0, w),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, N_GRAD_PAD, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_segsum_kernel, chunk=chunk, win=win),
+        out_shape=jax.ShapeDtypeStruct((N_GRAD_PAD, n_win * win), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(row_start, rows)
+    return out[:N_GRAD, :P]

@@ -324,6 +324,7 @@ def make_sharded_train_step(
                 "radii": jnp.where(vis, prep.radius, 0.0),  # shard-local
                 "visibility": vis,
                 "vis_overflow": vis_overflow,
+                "n_vis": jnp.minimum(n_vis, V),  # rows actually carried
                 "n_overflow": out["binning"].n_overflow,
                 "tile_overflow": out["binning"].tile_overflow,
                 "n_instances": out["binning"].n_instances,
@@ -394,6 +395,13 @@ def make_sharded_train_step(
             "n_overflow": jax.lax.psum(aux["n_overflow"], AXIS),
             "tile_overflow": jax.lax.psum(aux["tile_overflow"], AXIS),
             "n_instances": jax.lax.psum(aux["n_instances"], AXIS),
+            # communication-volume accounting (BASELINE.md weak scaling):
+            # the forward all-gather moves the STATIC V rows/shard; these
+            # let the harness report realized + ideal compression vs a full
+            # parameter all-gather without any hardware timing
+            "n_vis": jax.lax.psum(aux["n_vis"], AXIS),  # ideal (dynamic) rows
+            "gather_rows": jnp.float32(n * V),  # realized rows moved
+            "full_gather_rows": jnp.float32(n * Cn),  # naive design's rows
         }
         return ts.replace(gaussians=g2, app_params=app_params, app_m=app_m,
                           app_v=app_v, iteration=it), metrics

@@ -35,6 +35,10 @@ class PipelineConfig:
     # TPU-specific knobs
     max_per_tile: int = 512
     instance_multiplier: int = 8
+    # explicit instance budget (0 = derive from capacity * multiplier);
+    # the training loop's autotune pins this to the measured peak demand
+    # rounded to a 2M-segment bucket (ops/binning.round_budget)
+    instance_budget: int = 0
     backend: str = "auto"  # "xla" | "pallas" | "auto"
 
 

@@ -32,8 +32,9 @@ from radegs_tpu.train.optim import BETA1, BETA2, EPS, GroupLRs, adam_step, expon
 
 
 # HBM guard for the auto-growing instance budget (16M instances ~ several GB
-# of flat per-instance state in the backward pass)
-MAX_INSTANCE_BUDGET = 1 << 24
+# of flat per-instance state in the backward pass); single source of truth
+# in ops/binning.py (also the f32-exact slot bound there)
+from radegs_tpu.ops.binning import MAX_INSTANCE_BUDGET  # noqa: E402
 
 
 @struct.dataclass
@@ -87,7 +88,7 @@ def compute_loss(
         bg,
         kernel_size=mcfg.kernel_size,
         max_per_tile=pcfg.max_per_tile,
-        instance_budget=min(
+        instance_budget=pcfg.instance_budget or min(
             default_instance_budget(gaussians.capacity, pcfg.instance_multiplier),
             MAX_INSTANCE_BUDGET,
         ),
@@ -228,6 +229,65 @@ class SceneLike(NamedTuple):
     extent: float
 
 
+def autotune_pipeline(pcfg: PipelineConfig, n_ovf: float, t_ovf: float,
+                      window_peak: float, capacity: int,
+                      shrink_check: bool) -> tuple[PipelineConfig, bool]:
+    """One application of the budget grow/shrink policy — the TPU analogue of
+    the reference's resizeFunctional arena growth (rasterize_points.cu:27-33).
+
+    Grow the instance budget on overflow ("no silent caps", SURVEY.md §5.7);
+    shrink it when the budget is oversized: every binning/backward stage
+    costs time proportional to the BUDGET, not the real instance count
+    (BENCH_NOTES.md dense breakdown), so halving an underused budget is a
+    ~2x step on those stages. Shrink is decided on the PEAK instance count
+    over the caller's window (one sparse view must not flap the budget down
+    and straight back up); halving only while peak * 2.5 < budget keeps
+    >= 1.25x headroom after the halve; overflow growth recovers from
+    mispredictions. Used by train() every iteration and by ``bench.py
+    --scene dense --auto`` to settle the steady state before timing.
+
+    Returns (new_pcfg, changed)."""
+    from radegs_tpu.ops.binning import BUDGET_SEG, default_instance_budget, round_budget
+
+    changed = False
+    budget = pcfg.instance_budget or min(
+        default_instance_budget(capacity, pcfg.instance_multiplier),
+        MAX_INSTANCE_BUDGET,
+    )
+    # ``window_peak`` is the true demand (n_instances is the pre-clamp
+    # count), so the target bucket is peak * 1.3 headroom rounded up
+    # (round_budget); growth additionally jumps at least 1.5x so a
+    # densification ramp costs O(log) recompiles, not one per 2M segment.
+    target = round_budget(window_peak * 1.3)
+    if n_ovf > 0 and budget < MAX_INSTANCE_BUDGET:
+        new_budget = min(max(target, round_budget(budget * 3 // 2)),
+                         MAX_INSTANCE_BUDGET)
+        pcfg = replace_cfg(pcfg, instance_budget=new_budget)
+        print(f"[radegs] instance overflow ({n_ovf:.0f}): growing budget "
+              f"{budget} -> {new_budget}", flush=True)
+        changed = True
+    elif n_ovf > 0:
+        print(f"[radegs] instance overflow ({n_ovf:.0f}) at the "
+              f"{MAX_INSTANCE_BUDGET} budget cap — rendering truncated",
+              flush=True)
+    # shrink only on a meaningfully smaller bucket (>= 1 segment AND >= 15%)
+    # so per-view peak jitter cannot flap the budget down and straight back
+    if (not changed and shrink_check and target < budget
+            and budget - target >= max(min(BUDGET_SEG, budget // 2),
+                                       budget * 3 // 20)):
+        pcfg = replace_cfg(pcfg, instance_budget=target)
+        print(f"[radegs] budget underused "
+              f"(peak {window_peak:.0f}/{budget}): shrinking to {target}",
+              flush=True)
+        changed = True
+    if t_ovf > 0 and pcfg.max_per_tile < 4096:
+        pcfg = replace_cfg(pcfg, max_per_tile=pcfg.max_per_tile * 2)
+        print(f"[radegs] tile overflow ({t_ovf:.0f}): growing max_per_tile to "
+              f"{pcfg.max_per_tile}", flush=True)
+        changed = True
+    return pcfg, changed
+
+
 def train(
     scene: SceneLike,
     gaussians: gm.GaussianState,
@@ -334,53 +394,22 @@ def train(
         else:
             m = None
 
-        # grow static work buffers on overflow — the TPU analogue of the
-        # reference's resizeFunctional arena growth (rasterize_points.cu:27-33):
-        # one recompile per doubling, "no silent caps" (SURVEY.md §5.7).
-        # Checked every iteration against the PREVIOUS step's metrics: that
-        # step has already finished by the time this one is enqueued, so the
-        # float() fetch hides behind the in-flight device work instead of
-        # adding a host sync — at most one frame renders truncated before the
-        # budget grows (vs up to log_every frames when polled).
+        # Autotune the static work buffers (one recompile per change; policy
+        # in autotune_pipeline). Checked every iteration against the PREVIOUS
+        # step's metrics: that step has already finished by the time this one
+        # is enqueued, so the float() fetch hides behind the in-flight device
+        # work instead of adding a host sync — at most one frame renders
+        # truncated before the budget grows (vs up to log_every when polled).
         if prev_metrics is not None:
-            n_ovf = float(prev_metrics["n_overflow"])
-            t_ovf = float(prev_metrics["tile_overflow"])
-            grew = False
-            budget = ts.gaussians.capacity * pcfg.instance_multiplier
-            if n_ovf > 0 and budget < MAX_INSTANCE_BUDGET:
-                pcfg = replace_cfg(pcfg, instance_multiplier=pcfg.instance_multiplier * 2)
-                print(f"[radegs] instance overflow ({n_ovf:.0f}): growing budget to "
-                      f"capacity x {pcfg.instance_multiplier}", flush=True)
-                grew = True
-            elif n_ovf > 0:
-                print(f"[radegs] instance overflow ({n_ovf:.0f}) at the "
-                      f"{MAX_INSTANCE_BUDGET} budget cap — rendering truncated",
-                      flush=True)
-            # shrink when the budget is oversized: every binning/backward
-            # stage costs time proportional to the BUDGET, not to the real
-            # instance count (BENCH_NOTES.md dense breakdown), so halving
-            # an underused budget is a ~2x step on those stages. Decided on
-            # the PEAK instance count over the last window (one sparse view
-            # must not flap the budget down and straight back up), halving
-            # only while peak * 2.5 < budget keeps >= 1.25x headroom after
-            # the halve; overflow growth above recovers from mispredictions.
             window_peak = max(window_peak, float(prev_metrics["n_instances"]))
-            if (not grew and it % 100 == 0 and pcfg.instance_multiplier > 2
-                    and window_peak * 2.5 < budget):
-                pcfg = replace_cfg(pcfg,
-                                   instance_multiplier=pcfg.instance_multiplier // 2)
-                print(f"[radegs] budget underused "
-                      f"(peak {window_peak:.0f}/{budget}): shrinking "
-                      f"to capacity x {pcfg.instance_multiplier}", flush=True)
-                grew = True
+            pcfg, changed = autotune_pipeline(
+                pcfg, float(prev_metrics["n_overflow"]),
+                float(prev_metrics["tile_overflow"]), window_peak,
+                ts.gaussians.capacity, shrink_check=(it % 100 == 0),
+            )
             if it % 100 == 0:
                 window_peak = 0.0
-            if t_ovf > 0 and pcfg.max_per_tile < 4096:
-                pcfg = replace_cfg(pcfg, max_per_tile=pcfg.max_per_tile * 2)
-                print(f"[radegs] tile overflow ({t_ovf:.0f}): growing max_per_tile to "
-                      f"{pcfg.max_per_tile}", flush=True)
-                grew = True
-            if grew:
+            if changed:
                 step_fn = make_step(mcfg, ocfg, pcfg, spatial_lr_scale=scene.extent)
         prev_metrics = metrics
         # callbacks run EVERY iteration; m is floats at log points, else None

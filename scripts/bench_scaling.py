@@ -70,7 +70,7 @@ def run_one(n_devices, base_gaussians, width, height, iters, warmup, gspmd=False
             for _ in range(iters):
                 ts, m = step(ts, cam_s, gt, bg, 0, width, height)
             float(m["loss"])
-        return (time.perf_counter() - t0) / iters
+        return (time.perf_counter() - t0) / iters, None
 
     # default: the explicit visibility-compressed shard_map step
     from radegs_tpu.parallel.step import (
@@ -96,7 +96,26 @@ def run_one(n_devices, base_gaussians, width, height, iters, warmup, gspmd=False
         float(m["loss"])
         if float(m["n_vis_overflow"]) > 0:
             print(f"  [warn] vis_capacity overflow: {float(m['n_vis_overflow']):.0f}")
-    return (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / iters
+    # communication-volume accounting (VERDICT r2 #7): CPU-mesh timings are
+    # noise on one core, but the gathered bytes are exact and make the
+    # weak-scaling claim an arithmetic bandwidth statement. The forward
+    # all-gather moves 28 f32 + 2 bool columns per visible gaussian row
+    # (parallel/step.py prep_all), each shard contributing its static
+    # vis_capacity block.
+    ROW_BYTES = 28 * 4 + 2
+    comm = {
+        "gather_rows_static": float(m["gather_rows"]),
+        "gather_rows_ideal": float(m["n_vis"]),
+        "full_gather_rows": float(m["full_gather_rows"]),
+        "gather_mb_static": float(m["gather_rows"]) * ROW_BYTES / 1e6,
+        "gather_mb_full": float(m["full_gather_rows"]) * ROW_BYTES / 1e6,
+        "compression_vs_full_gather":
+            float(m["gather_rows"]) / max(float(m["full_gather_rows"]), 1.0),
+        "ideal_compression":
+            float(m["n_vis"]) / max(float(m["full_gather_rows"]), 1.0),
+    }
+    return dt, comm
 
 
 def main(argv=None):
@@ -119,15 +138,20 @@ def main(argv=None):
     results = {}
     t1 = None
     for n in counts:
-        dt = run_one(n, args.base_gaussians, args.width, args.height,
-                     args.iters, args.warmup, gspmd=args.gspmd)
+        dt, comm = run_one(n, args.base_gaussians, args.width, args.height,
+                           args.iters, args.warmup, gspmd=args.gspmd)
         if t1 is None:
             t1 = dt
         eff = t1 / dt
         results[n] = {"ms_per_iter": dt * 1000, "weak_scaling_efficiency": eff}
-        print(f"devices={n:2d}  {dt * 1000:8.1f} ms/iter  "
-              f"gaussians={args.base_gaussians * n:8d}  efficiency={eff:.3f}",
-              flush=True)
+        line = (f"devices={n:2d}  {dt * 1000:8.1f} ms/iter  "
+                f"gaussians={args.base_gaussians * n:8d}  efficiency={eff:.3f}")
+        if comm is not None:
+            results[n]["comm"] = comm
+            line += (f"  gather={comm['gather_mb_static']:.1f}MB "
+                     f"({comm['compression_vs_full_gather']:.3f}x of full, "
+                     f"ideal {comm['ideal_compression']:.3f}x)")
+        print(line, flush=True)
     print(json.dumps({"weak_scaling": results}))
 
 

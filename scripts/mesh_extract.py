@@ -25,7 +25,10 @@ def main(argv=None):
     p.add_argument("--iteration", type=int, default=-1)
     p.add_argument("--voxel_size", type=float, default=0.002)
     p.add_argument("--max_resolution", type=int, default=768)
+    from radegs_tpu.utils.platform import add_device_arg, apply_device
+    add_device_arg(p)
     args = get_combined_args(p, argv)
+    apply_device(args.device)
     mcfg = extract(ModelConfig, args)
 
     pc_dir = os.path.join(mcfg.model_path, "point_cloud")

@@ -26,7 +26,10 @@ def main(argv=None):
     p.add_argument("--iteration", type=int, default=30000)
     p.add_argument("--binary_steps", type=int, default=8)
     p.add_argument("--max_per_tile", type=int, default=1024)
+    from radegs_tpu.utils.platform import add_device_arg, apply_device
+    add_device_arg(p)
     args = get_combined_args(p, argv)
+    apply_device(args.device)
     mcfg = extract(ModelConfig, args)
 
     pc_dir = os.path.join(mcfg.model_path, "point_cloud")

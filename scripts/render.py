@@ -65,7 +65,10 @@ def main(argv=None):
     p.add_argument("--save_depth", action="store_true")
     p.add_argument("--path_frames", type=int, default=0,
                    help="also render an N-frame ellipse orbit (video frames)")
+    from radegs_tpu.utils.platform import add_device_arg, apply_device
+    add_device_arg(p)
     args = get_combined_args(p, argv)
+    apply_device(args.device)
     mcfg = extract(ModelConfig, args)
     pcfg = extract(PipelineConfig, args)
 

@@ -43,6 +43,8 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--synthetic", action="store_true",
                    help="train on a tiny built-in synthetic scene (no dataset needed)")
+    from radegs_tpu.utils.platform import add_device_arg
+    add_device_arg(p)
     return p.parse_args(argv)
 
 
@@ -76,6 +78,8 @@ def synthetic_scene(size=64, n_cams=4, P=80, seed=0):
 
 def main(argv=None):
     args = parse_args(argv)
+    from radegs_tpu.utils.platform import apply_device
+    apply_device(args.device)
     import jax
     import jax.numpy as jnp
 

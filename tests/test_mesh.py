@@ -83,3 +83,26 @@ def test_tetra_extraction(sphere_scene, tmp_path):
     r = np.linalg.norm(verts, axis=1)
     assert abs(np.median(r) - 1.0) < 0.2, np.median(r)
     assert out.exists()
+
+
+def test_decimate_seed_points():
+    from radegs_tpu.mesh.extract_tetra import decimate_seed_points
+
+    rng = np.random.default_rng(0)
+    # 3 clusters of near-duplicates + 2 isolated points
+    # cluster centers at voxel-cell centers (offset 0.005 with voxel 0.01)
+    # so the 1e-4 jitter cannot straddle a cell boundary
+    base = np.array([[0.005, 0.005, 0.005], [1.005, 0.005, 0.005],
+                     [0.005, 1.005, 0.005]], np.float32)
+    pts = np.concatenate(
+        [np.repeat(base, 50, axis=0) + rng.normal(scale=1e-4, size=(150, 3)).astype(np.float32),
+         np.array([[5, 5, 5], [-5, -5, -5]], np.float32)]
+    )
+    scales = rng.uniform(0.1, 1.0, size=len(pts)).astype(np.float32)
+    out, osc = decimate_seed_points(pts, scales, voxel=0.01)
+    assert out.shape[0] == 5  # one rep per cluster + the isolated pair
+    # representative carries its cell's max scale
+    assert abs(osc.max() - scales.max()) < 1e-6 or osc.max() <= scales.max()
+    # every representative is an original point
+    d = np.abs(out[:, None, :] - pts[None]).sum(-1).min(1)
+    assert (d < 1e-7).all()

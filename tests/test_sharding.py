@@ -157,6 +157,50 @@ def test_train_loop_with_mesh(setup):
     assert np.isfinite(history[-1]["loss"])
 
 
+def test_train_loop_with_mesh_densify(setup):
+    """VERDICT r2 #6: the mesh-path loop must survive and match the
+    single-device loop THROUGH densification (clone/split/prune fire on
+    shard_map-output-sharded state via the plain-jit densify_step +
+    update_3d_filter + maybe_grow host sequence)."""
+    from radegs_tpu.parallel.step import make_mesh_1d
+    from radegs_tpu.train.loop import SceneLike, train
+
+    state, cam, gt = setup
+    scene = SceneLike(cameras=[(cam, gt, 0)], extent=3.5)
+    mcfg = ModelConfig(kernel_size=0.1)
+    # schedule chosen so densify fires twice (iters 4, 6) and the grad
+    # threshold is tiny so clone/split both trigger; prune fires via the
+    # min-opacity path on the 0.1-opacity init
+    ocfg = OptimizationConfig(
+        iterations=8, regularization_from_iter=0, densify_from_iter=2,
+        densification_interval=2, densify_until_iter=10,
+        densify_grad_threshold=1e-7, opacity_reset_interval=1000,
+    )
+    pcfg = PipelineConfig(max_per_tile=64)
+
+    ts_ref, hist_ref = train(
+        scene, jax.tree.map(jnp.copy, state), mcfg, ocfg, pcfg, log_every=1)
+    n_ref = int(ts_ref.gaussians.n_active())
+    n0 = int(state.n_active())
+    assert n_ref != n0, "densify/prune never changed the particle count"
+
+    mesh = make_mesh_1d(jax.devices())
+    ts_sh, hist_sh = train(
+        scene, jax.tree.map(jnp.copy, state), mcfg, ocfg, pcfg, log_every=1,
+        mesh=mesh)
+
+    assert int(ts_sh.gaussians.n_active()) == n_ref
+    assert abs(hist_sh[-1]["loss"] - hist_ref[-1]["loss"]) < 1e-4
+    # same particles in the same order (the compaction argsort is
+    # deterministic and the densify PRNG chain is seed-identical); atol
+    # covers fp reduction-order drift between the halo-banded sharded loss
+    # and the single-device loss accumulated over the 8 iterations
+    np.testing.assert_allclose(
+        np.asarray(ts_sh.gaussians.params.xyz),
+        np.asarray(ts_ref.gaussians.params.xyz), atol=2e-3,
+    )
+
+
 def test_mark_visible(setup):
     state, cam, _ = setup
     vis = np.asarray(mark_visible(state, cam))
