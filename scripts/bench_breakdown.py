@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--trace", type=str, default=None,
                     help="capture a jax.profiler trace of the full step to DIR")
     ap.add_argument("--scene", choices=["100k", "dense"], default="100k")
+    ap.add_argument("--budget", type=int, default=0,
+                    help="explicit instance budget (0 = capacity * "
+                         "multiplier; pass the bench --auto settled value "
+                         "so the breakdown prices like the real step)")
+    ap.add_argument("--mpt", type=int, default=0,
+                    help="max_per_tile override (0 = scene default)")
     args = ap.parse_args()
 
     import os
@@ -52,9 +58,10 @@ def main():
     bg = jnp.zeros(3)
     mcfg = ModelConfig(kernel_size=0.1)
     ocfg = OptimizationConfig(regularization_from_iter=0)
-    pcfg = PipelineConfig(max_per_tile=512 if args.scene == "100k" else 1024)
-    budget = min(default_instance_budget(state.capacity, pcfg.instance_multiplier),
-                 1 << 24)
+    mpt = args.mpt or (512 if args.scene == "100k" else 4096)
+    budget = args.budget or min(
+        default_instance_budget(state.capacity, 8), 1 << 24)
+    pcfg = PipelineConfig(max_per_tile=mpt, instance_budget=budget)
 
     def prep_of(g):
         scales, opacity = g.get_fused_scaling_opacity()
@@ -142,12 +149,23 @@ def main():
 
     @jax.jit
     def p_bwd_blend(g):
-        # + the instance->gaussian transpose + scatter reduction
+        # + the instance->gaussian reduction (auto impl: scatter vs MXU)
         from radegs_tpu.ops.pallas_blend import blend_backward_pallas
 
         b, inputs, fwd, cot = _fwd_and_cot(g)
         grads = blend_backward_pallas(b, inputs, fwd, cot, width=W, height=H)
         return sum(jnp.sum(v) for v in grads.values()) * 1e-20
+
+    def p_bwd_blend_impl(impl):
+        @jax.jit
+        def f(g):
+            from radegs_tpu.ops.pallas_blend import blend_backward_pallas
+
+            b, inputs, fwd, cot = _fwd_and_cot(g)
+            grads = blend_backward_pallas(b, inputs, fwd, cot, width=W,
+                                          height=H, reduce_impl=impl)
+            return sum(jnp.sum(v) for v in grads.values()) * 1e-20
+        return f
 
     @jax.jit
     def p_fwd_loss(g):
@@ -209,6 +227,8 @@ def main():
     if on_tpu:
         t_bk = time_prefix(p_bwd_kernel, "+bwd kernel")
         t_bb = time_prefix(p_bwd_blend, "+bwd reduce")
+        time_prefix(p_bwd_blend_impl("scatter"), "+bwd red(scat)")
+        time_prefix(p_bwd_blend_impl("mxu"), "+bwd red(mxu)")
     t_loss = time_prefix(p_fwd_loss, "+loss tail")
     t_bwd = time_prefix(p_grads, "+backward")
     ts_run, t_full = time_full()
