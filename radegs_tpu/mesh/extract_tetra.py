@@ -56,12 +56,13 @@ def decimate_seed_points(points, scales, voxel):
 
     The reference seeds 9 points per Gaussian (8 corners @3sigma + center,
     gaussian_model.py:399-429) and pays CGAL Delaunay on all of them; on a
-    converged surface the corners of neighboring splats nearly coincide, so
-    a sub-sigma voxel dedup drops a large fraction of the points without
-    changing which edges cross the surface — cutting the dominant host
-    Delaunay term AND every SDF pass of the binary search. Keeping the max
-    member scale keeps the edge-length filter (mesh_extract_tetrahedra.py:
-    107-110) conservative."""
+    converged surface neighboring splats' seed boxes overlap heavily, so a
+    voxel dedup at ~2 sigma (still finer than the reference's own ~3-sigma
+    within-gaussian seed spacing) drops ~90% of the points without changing
+    which tetra edges cross the surface — cutting the dominant host
+    Delaunay term ~15x AND every SDF pass of the binary search ~10x.
+    Keeping the max member scale keeps the edge-length filter
+    (mesh_extract_tetrahedra.py:107-110) conservative."""
     q = np.floor(points / voxel).astype(np.int64)
     q -= q.min(axis=0)
     dims = q.max(axis=0) + 1
@@ -135,7 +136,7 @@ def extract_mesh_tetrahedra(state, views, kernel_size, bg, masks=None,
     (vertices, faces) and optionally writes out_path.
 
     ``decimate``: voxel size for seed-point dedup before the Delaunay
-    ("auto" = half the median splat sigma, None/0 = reference-exact seeds).
+    ("auto" = 2 median splat sigmas, None/0 = reference-exact seeds).
     """
     from scipy.spatial import Delaunay
 
@@ -143,8 +144,14 @@ def extract_mesh_tetrahedra(state, views, kernel_size, bg, masks=None,
     if verbose:
         print(f"tetra points: {points.shape[0]}")
     if decimate:
-        # point_scales are 3*sigma_max, so sigma/2 = median(scales)/6
-        voxel = (float(np.median(point_scales)) / 6.0
+        # point_scales are 3*sigma_max, so 2*sigma = median(scales)*2/3.
+        # Measured host sweep (600k-splat soak scene, 5.4M seeds): sigma/2
+        # keeps 85% of points and qhull got SLOWER; 2*sigma keeps 10%
+        # (Delaunay 465 s -> 30 s) while staying BELOW the reference's own
+        # ~3-sigma seed spacing, so cells still straddle the surface at
+        # sub-splat scale and the 8-step binary search pins vertices to the
+        # same crossings.
+        voxel = (float(np.median(point_scales)) * (2.0 / 3.0)
                  if decimate == "auto" else float(decimate))
         if voxel > 0:
             points, point_scales = decimate_seed_points(
@@ -152,6 +159,10 @@ def extract_mesh_tetrahedra(state, views, kernel_size, bg, masks=None,
             if verbose:
                 print(f"decimated to {points.shape[0]} seeds "
                       f"(voxel {voxel:.4g})")
+    # qhull is strongly insertion-order sensitive: the voxel-dedup's
+    # key-sorted order measured 1.7x SLOWER than a random shuffle
+    perm = np.random.default_rng(0).permutation(points.shape[0])
+    points, point_scales = points[perm], point_scales[perm]
     cells = Delaunay(points).simplices.astype(np.int64)  # (M,4)
     if verbose:
         print(f"delaunay cells: {cells.shape[0]}")

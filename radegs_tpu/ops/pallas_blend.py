@@ -55,6 +55,11 @@ import os as _os0
 # `for s in range(CH // SUBK)` would silently skip CH % SUBK trailing rows.
 SUB = int(_os0.environ.get("RADEGS_SUB", "128"))
 
+# backward compaction-ring placement: "roll" = one dynamic lane rotate
+# (pltpu.roll); "mxu" = the one-hot HIGHEST-precision matmul it replaced
+# (kept as a fallback — flip via env if a Mosaic version rejects the roll)
+_RING_IMPL = _os0.environ.get("RADEGS_RING_IMPL", "roll")
+
 
 def _check_sub(chunk: int) -> None:
     subk = min(SUB, chunk)
@@ -243,7 +248,11 @@ def _fwd_kernel(
             sems.at[slot],
         )
 
-    @pl.when(n_chunks > 0)
+    # chunk 0 was prefetched by the PREVIOUS grid step (cross-tile
+    # speculative prefetch: most tiles run a single chunk, so an entry-time
+    # start here would leave every tile stalled on its first DMA's latency);
+    # only the very first non-empty tile starts its own.
+    @pl.when((t == 0) & (n_chunks > 0))
     def _():
         dma(0, 0).start()
 
@@ -396,6 +405,24 @@ def _fwd_kernel(
         return acc
 
     acc = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    # speculative prefetch of the NEXT tile's first chunk: every input DMA
+    # of this tile has been consumed by now (each body waits its own chunk),
+    # so slot 0 is free; the next grid step's body(0) waits the matching
+    # semaphore instead of paying the latency cold. Empty next tiles start
+    # nothing (they run no body) and hand the prefetch duty one tile on.
+    nt = t + 1
+
+    @pl.when(nt < pl.num_programs(0))
+    def _():
+        ncount = count_ref[nt]
+
+        @pl.when(ncount > 0)
+        def _():
+            noff = pl.multiple_of((start_ref[nt] // CH) * CH, CH)
+            pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(noff, CH)], fbuf.at[0], sems.at[0]
+            ).start()
 
     out = jnp.concatenate(
         [
@@ -585,21 +612,40 @@ def _bwd_kernel(
     def stage_put(gmat, lo, nreal, fill):
         """Place gmat rows [lo, lo+nreal) at ring lanes [fill%RING, ...)."""
         fill_mod = jax.lax.rem(fill, RING)
-        # placement one-hot: lane r takes gmat row j iff
-        # (r - fill_mod) mod RING == j - lo and lo <= j < lo + nreal
-        rel = jax.lax.rem(ring_r - fill_mod + RING, RING)
-        sp = jnp.where(
-            (rel == sub_j - lo) & (sub_j >= lo) & (sub_j < lo + nreal), 1.0, 0.0
-        )  # (SUBK, RING)
-        add = jax.lax.dot_general(
-            gmat.T, sp, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (32, RING); exact: sp is one-hot
         written = jax.lax.rem(ring_lane - fill_mod + RING, RING) < nreal
+        if _RING_IMPL == "roll":
+            # lane ROTATION: source lane j (gmat row j) lands on ring lane
+            # (j + shift) mod RING with shift = fill_mod - lo, so rows
+            # [lo, lo+nreal) hit exactly the ``written`` lanes; all other
+            # source lanes (rows outside the real range + the zero pad)
+            # land outside ``written`` and are discarded by the select.
+            # Replaces a 6-pass one-hot MXU matmul with one vector rotate.
+            padded = jnp.concatenate(
+                [gmat.T, jnp.zeros((N_GRAD_PAD, RING - SUBK), jnp.float32)],
+                axis=1,
+            )  # (32, RING)
+            shift = jax.lax.rem(fill_mod - lo + RING, RING)
+            add = pltpu.roll(padded, shift, 1)
+        else:
+            # placement one-hot: lane r takes gmat row j iff
+            # (r - fill_mod) mod RING == j - lo and lo <= j < lo + nreal.
+            # HIGHEST: the f32 gradient VALUES must survive the matmul
+            # (DEFAULT would round them to bf16; the one-hot side is exact
+            # in any precision).
+            rel = jax.lax.rem(ring_r - fill_mod + RING, RING)
+            sp = jnp.where(
+                (rel == sub_j - lo) & (sub_j >= lo) & (sub_j < lo + nreal), 1.0, 0.0
+            )  # (SUBK, RING)
+            add = jax.lax.dot_general(
+                gmat.T, sp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (32, RING)
         stage[...] = jnp.where(written, add, stage[...])
 
-    @pl.when(n_chunks > 0)
+    # chunk 0 was prefetched by the previous grid step (see _fwd_kernel's
+    # cross-tile speculative prefetch); only the first tile starts its own
+    @pl.when((t == 0) & (n_chunks > 0))
     def _():
         fdma(0, 0).start()
 
@@ -838,6 +884,20 @@ def _bwd_kernel(
         return acc
 
     jax.lax.fori_loop(0, n_chunks, body, init)
+
+    # speculative prefetch of the next tile's first chunk (see _fwd_kernel)
+    nt = t + 1
+
+    @pl.when(nt < pl.num_programs(0))
+    def _():
+        ncount = count_ref[nt]
+
+        @pl.when(ncount > 0)
+        def _():
+            noff = pl.multiple_of((start_ref[nt] // CH) * CH, CH)
+            pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(noff, CH)], fbuf.at[0], fsems.at[0]
+            ).start()
 
     # final program: pad the open partial chunk with gid=-1 rows, flush it,
     # and wait the last in-flight flushes (DMAs may stay in flight across
