@@ -6,9 +6,12 @@ Shards the Gaussian/parameter axis over the mesh's `g` axis and scales the
 problem (capacity) proportionally to the device count, so per-device work is
 constant; efficiency = t(1) / t(N).
 
-On real multi-chip hardware run as-is; without it, set
-  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu
-to validate the sharding path (CPU numbers do not reflect ICI bandwidth).
+On real multi-chip hardware run as-is; without it, pass ``--cpu_mesh 8`` to
+validate the sharding path on virtual CPU devices (CPU numbers do not
+reflect ICI bandwidth — the communication-volume accounting is the
+hardware-independent signal). NOTE: the JAX_PLATFORMS env var is hijacked
+by the axon plugin (CLAUDE.md), so --cpu_mesh forces the platform
+in-process; without it this script would try to claim the TPU.
 """
 
 from __future__ import annotations
@@ -119,8 +122,6 @@ def run_one(n_devices, base_gaussians, width, height, iters, warmup, gspmd=False
 
 
 def main(argv=None):
-    import jax
-
     p = argparse.ArgumentParser()
     p.add_argument("--base_gaussians", type=int, default=50_000)
     p.add_argument("--width", type=int, default=800)
@@ -128,10 +129,19 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--devices", type=int, nargs="+", default=None)
+    p.add_argument("--cpu_mesh", type=int, default=0, metavar="N",
+                   help="force the CPU platform with N virtual devices "
+                        "(env JAX_PLATFORMS is ignored here, CLAUDE.md)")
     p.add_argument("--gspmd", action="store_true",
                    help="use the GSPMD auto-sharded step instead of the "
                         "explicit visibility-compressed shard_map step")
     args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_mesh)
 
     n_avail = len(jax.devices())
     counts = args.devices or [n for n in (1, 2, 4, 8, 16) if n <= n_avail]
