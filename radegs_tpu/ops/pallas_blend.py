@@ -106,15 +106,26 @@ def _pad_lanes(x, chunk: int):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Bp - B)])
 
 
-def sorted_features(binning: TileBinning, inputs):
-    """(25, B) features of the depth-sorted instance list: ONE (P,24) row
-    gather by gauss_id + transpose. (A lane-axis take along a (24, B) array
+PACK_SEG = int(_os0.environ.get("RADEGS_PACK_SEG", str(1 << 21)))
+
+
+def sorted_features(binning: TileBinning, inputs, seg_rows: int | None = None):
+    """(32, B) features of the depth-sorted instance list: (P,24) row
+    gathers by gauss_id + transpose. (A lane-axis take along a (24, B) array
     or a B-sized scatter both hit ~10x slower TPU paths.)
 
     Row 24 carries the gaussian id as float (-1 for unused slots; exact for
     id < 2^23): the backward kernel streams it through and re-emits it with
     each gradient row, so the instance->gaussian reduction needs no
-    B-sized id gather at all."""
+    B-sized id gather at all.
+
+    ``seg_rows``: run the gather per segment under ``lax.cond`` so segments
+    entirely past the live prefix (real rows + interleaved sentinels) cost
+    nothing — the pack then prices at the REAL instance count, not the
+    budget (the dense breakdown measured the monolithic pack at ~300 ms of
+    which ~half was dead budget slots). Dead segments stay all-zero
+    (gid row 0.0, not -1): the kernels never read past each tile's count,
+    and culled rows sort past the live prefix. None = monolithic."""
     xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts = inputs
     P = xy.shape[0]
     op = opacity[:, 0] if opacity.ndim == 2 else opacity
@@ -126,17 +137,41 @@ def sorted_features(binning: TileBinning, inputs):
         axis=1,
     )  # (P, 24)
     gid = binning.gauss_id
-    feat = rows[jnp.clip(gid, 0, P - 1)]  # (B, 24)
-    # zero rows of unused slots (their opacity would otherwise be a real
-    # gaussian's — the kernels mask by count, this is defense in depth)
-    feat = jnp.where((gid >= 0)[:, None], feat, 0.0)
     B = gid.shape[0]
-    feat = jnp.concatenate(
-        [feat, gid.astype(jnp.float32)[:, None],
-         jnp.zeros((B, N_FEAT - 25), jnp.float32)],
-        axis=1,
-    )
-    return feat.T  # (N_FEAT, B)
+
+    def pack_block(g):
+        n = g.shape[0]
+        f = rows[jnp.clip(g, 0, P - 1)]  # (n, 24)
+        # zero rows of unused slots (their opacity would otherwise be a
+        # real gaussian's — the kernels mask by count, defense in depth)
+        f = jnp.where((g >= 0)[:, None], f, 0.0)
+        return jnp.concatenate(
+            [f, g.astype(jnp.float32)[:, None],
+             jnp.zeros((n, N_FEAT - 25), jnp.float32)],
+            axis=1,
+        ).T  # (N_FEAT, n)
+
+    if seg_rows is None or B <= seg_rows:
+        return pack_block(gid)
+
+    # live prefix bound: every non-culled real row + all T sentinels sit
+    # before min(n_instances, budget) + T in the sorted order (culled rows
+    # carry tid = num_tiles and sort to the very end)
+    T = binning.tile_start.shape[0]
+    n_live = jnp.minimum(binning.n_instances, B - T) + T
+    out = jnp.zeros((N_FEAT, B), jnp.float32)
+    for s0 in range(0, B, seg_rows):
+        s1 = min(s0 + seg_rows, B)
+
+        def seg(o, s0=s0, s1=s1):
+            return jax.lax.dynamic_update_slice(
+                o, pack_block(gid[s0:s1]), (0, s0))
+
+        if s0 == 0:
+            out = seg(out)
+        else:
+            out = jax.lax.cond(s0 < n_live, seg, lambda o: o, out)
+    return out
 
 
 def _shift_down(x, sh, fill):
@@ -475,7 +510,10 @@ def blend_forward_pallas(
     px = tile * tile
 
     inputs = (xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts)
-    feat_sorted = _pad_lanes(sorted_features(binning, inputs), chunk)  # (24, B')
+    feat_sorted = _pad_lanes(
+        sorted_features(binning, inputs,
+                        seg_rows=PACK_SEG if binning.gauss_id.shape[0] > PACK_SEG else None),
+        chunk)  # (32, B')
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -991,7 +1029,10 @@ def blend_backward_pallas(
     T = tiles_x * tiles_y
     px = tile * tile
 
-    feat_sorted = _pad_lanes(sorted_features(binning, inputs), chunk)  # (24, B')
+    feat_sorted = _pad_lanes(
+        sorted_features(binning, inputs,
+                        seg_rows=PACK_SEG if binning.gauss_id.shape[0] > PACK_SEG else None),
+        chunk)  # (32, B')
 
     # the kernel compacts gradient rows globally (VMEM ring across the
     # sequential grid): written rows = ceil(sum(count)/CH)*CH, bounded by

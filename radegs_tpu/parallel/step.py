@@ -178,9 +178,13 @@ def make_sharded_train_step(
         y0_tile_rows = d * band_tiles
         y0 = (y0_tile_rows * 16).astype(jnp.float32)
         # per-band instance budget (static): the band holds ~1/n of the
-        # image's tiles, so 1/n of the usual budget
+        # image's tiles, so 1/n of the usual budget; an explicit
+        # pcfg.instance_budget (the loop's autotune pins one to the measured
+        # peak) rides the same 1/n split
         budget = max(
-            min(default_instance_budget(V * n, pcfg.instance_multiplier) // n,
+            min((pcfg.instance_budget
+                 or default_instance_budget(V * n, pcfg.instance_multiplier))
+                // n,
                 (1 << 24) // n),
             1 << 12,
         )

@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def run_one(n_devices, base_gaussians, width, height, iters, warmup, gspmd=False):
+def run_one(n_devices, base_gaussians, width, height, iters, warmup,
+            gspmd=False, zoom=False, vis_frac=1.0):
     import jax
     import jax.numpy as jnp
 
@@ -47,7 +48,15 @@ def run_one(n_devices, base_gaussians, width, height, iters, warmup, gspmd=False
     state = state.replace(
         params=state.params.replace(scaling=state.params.scaling + np.log(0.22))
     )
-    cam = Camera.look_at([0, 0.8, -5.0], [0, 0, 0], [0, 1, 0], 0.9, 0.7, width, height)
+    if zoom:
+        # close-up view seeing a FRACTION of the cloud — the regime real
+        # scenes (larger than any one frustum) put the visibility-compressed
+        # gather in; the wide default sees ~76% and can't compress
+        cam = Camera.look_at([0.4, 0.5, -1.6], [0.2, 0.1, 0], [0, 1, 0],
+                             0.9, 0.7, width, height)
+    else:
+        cam = Camera.look_at([0, 0.8, -5.0], [0, 0, 0], [0, 1, 0], 0.9, 0.7,
+                             width, height)
     state = gm.update_3d_filter(state, [cam])
     gt = jnp.clip(jnp.asarray(rng.uniform(size=(3, height, width)), jnp.float32), 0, 1)
 
@@ -84,7 +93,9 @@ def run_one(n_devices, base_gaussians, width, height, iters, warmup, gspmd=False
     step = make_sharded_train_step(
         mcfg, ocfg, pcfg, spatial_lr_scale=5.0, mesh=mesh,
         width=width, height=height,
-        vis_capacity=max(capacity // n_devices, 1 << 12),  # lossless
+        # vis_frac 1.0 = lossless; lower caps the static gather and relies
+        # on the overflow counter to prove nothing was dropped
+        vis_capacity=max(int(capacity // n_devices * vis_frac), 1 << 12),
     )
     _, _, H_pad = band_layout(height, n_devices)
     gt_p = pad_gt(gt, H_pad)
@@ -135,6 +146,12 @@ def main(argv=None):
     p.add_argument("--gspmd", action="store_true",
                    help="use the GSPMD auto-sharded step instead of the "
                         "explicit visibility-compressed shard_map step")
+    p.add_argument("--zoom", action="store_true",
+                   help="close-up camera seeing a fraction of the cloud "
+                        "(the visibility-compression regime)")
+    p.add_argument("--vis_frac", type=float, default=1.0,
+                   help="static per-shard gather cap as a fraction of "
+                        "per-shard capacity (overflow counter reports drops)")
     args = p.parse_args(argv)
 
     import jax
@@ -149,7 +166,8 @@ def main(argv=None):
     t1 = None
     for n in counts:
         dt, comm = run_one(n, args.base_gaussians, args.width, args.height,
-                           args.iters, args.warmup, gspmd=args.gspmd)
+                           args.iters, args.warmup, gspmd=args.gspmd,
+                           zoom=args.zoom, vis_frac=args.vis_frac)
         if t1 is None:
             t1 = dt
         eff = t1 / dt

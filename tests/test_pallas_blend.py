@@ -114,3 +114,26 @@ def test_segmented_grad_reduction_matches_monolithic():
         if 0 <= gid[i] < P:
             want[gid[i]] += g[:N_GRAD, i]
     np.testing.assert_allclose(np.asarray(mono).T, want, atol=1e-4)
+
+
+def test_segmented_feature_pack_matches_monolithic(scene):
+    """sorted_features(seg_rows=...) must match the monolithic pack on the
+    live prefix (real rows + sentinels) and leave only dead slots different
+    (zeros vs gathered-but-unread culled/padding rows)."""
+    from radegs_tpu.ops.pallas_blend import sorted_features
+
+    cam, prep = scene
+    binning = bin_gaussians(prep.xy, prep.radius, prep.depth, prep.valid,
+                            64, 48, instance_budget=1 << 11, max_per_tile=128,
+                            conic=prep.conic, opacity=prep.opacity)
+    inputs = (prep.xy, prep.conic, prep.opacity, prep.rgb, prep.view_point,
+              prep.camera_plane, prep.ray_plane, prep.normal, prep.ts)
+    mono = np.asarray(sorted_features(binning, inputs))
+    seg = np.asarray(sorted_features(binning, inputs, seg_rows=512))
+    T = binning.tile_start.shape[0]
+    B = binning.gauss_id.shape[0]
+    n_live = min(int(binning.n_instances), B - T) + T
+    np.testing.assert_array_equal(seg[:, :n_live], mono[:, :n_live])
+    # every slot any tile's kernel window can read agrees
+    ends = np.asarray(binning.tile_start + binning.tile_count)
+    assert int(ends.max()) <= n_live
