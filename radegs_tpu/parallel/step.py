@@ -204,7 +204,19 @@ def make_sharded_train_step(
             )
 
             # ---- visibility compaction (the compression step) ----
-            vis = prep.valid & (prep.radius > 0)
+            # prep.valid is only the reference's z > near test
+            # (forward.cu in_frustum); a gaussian in front of the camera but
+            # entirely OFF-SCREEN still has radius > 0 and would ride the
+            # all-gather for nothing (binning drops it via touched == 0).
+            # Screen-bounds test against the FULL image (every band's tiles
+            # + halos are inside it) cuts those rows out of the gather.
+            on_screen = (
+                (prep.xy[:, 0] + prep.radius > 0.0)
+                & (prep.xy[:, 0] - prep.radius < float(width))
+                & (prep.xy[:, 1] + prep.radius > 0.0)
+                & (prep.xy[:, 1] - prep.radius < float(height))
+            )
+            vis = prep.valid & (prep.radius > 0) & on_screen
             n_vis = jnp.sum(vis.astype(jnp.int32))
             vis_overflow = jnp.maximum(n_vis - V, 0)
             idx = jnp.nonzero(vis, size=V, fill_value=Cn)[0].astype(jnp.int32)
