@@ -309,6 +309,14 @@ def train(
     explicit visibility-compressed multi-chip step (parallel/step.py:
     gaussians sharded over the axis, tile-band rasterization, halo losses;
     decoupled appearance runs replicated on the gathered 3-channel image).
+    In mesh mode the particle axis is kept in a STRIDED balanced layout
+    between densification events (parallel/rebalance.py — the SURVEY §2.4
+    all-to-all rebalance; spreads the front-packed compaction output so
+    per-shard visible counts stay ~equal); densify itself and the returned
+    final state are canonical, so results match the single-device loop.
+    Mid-loop callbacks see the internal strided order — per-particle ops
+    and point-cloud exports are order-invariant, but don't assume slot i
+    is the same particle as in a single-device run.
     """
     import numpy as np
 
@@ -327,6 +335,7 @@ def train(
             ts.gaussians, [c[0] for c in scene.cameras]))
 
     if mesh is not None:
+        from radegs_tpu.parallel.rebalance import to_canonical, to_strided
         from radegs_tpu.parallel.step import (
             AXIS, band_layout, make_sharded_train_step, pad_gt,
         )
@@ -351,6 +360,9 @@ def train(
         make_step = make_train_step
 
     step_fn = make_step(mcfg, ocfg, pcfg, spatial_lr_scale=scene.extent)
+    if mesh is not None:
+        # balanced strided layout for the sharded hot loop (see docstring)
+        ts = ts.replace(gaussians=to_strided(ts.gaussians, n_dev))
     rng = np.random.default_rng(seed)
     stack = []
     history = []
@@ -368,6 +380,10 @@ def train(
         if it < ocfg.densify_until_iter:
             if it > ocfg.densify_from_iter and it % ocfg.densification_interval == 0:
                 key, sub = jax.random.split(key)
+                if mesh is not None:
+                    # densify semantics (per-slot PRNG draws, compaction
+                    # argsort) are defined on the canonical order
+                    ts = ts.replace(gaussians=to_canonical(ts.gaussians, n_dev))
                 g2, dstats = densify_step(
                     ts.gaussians, sub, ocfg.densify_grad_threshold, 0.05,
                     scene.extent, it > ocfg.opacity_reset_interval,
@@ -378,6 +394,10 @@ def train(
                     ts = ts.replace(gaussians=gm.update_3d_filter(
                         ts.gaussians, [c[0] for c in scene.cameras]))
                 ts = ts.replace(gaussians=gm.maybe_grow(ts.gaussians))
+                if mesh is not None:
+                    # re-spread the front-packed compaction output (the
+                    # stride is recomputed at the possibly-grown capacity)
+                    ts = ts.replace(gaussians=to_strided(ts.gaussians, n_dev))
             if it % ocfg.opacity_reset_interval == 0 or (
                 mcfg.white_background and it == ocfg.densify_from_iter
             ):
@@ -417,6 +437,8 @@ def train(
         # costs a host sync)
         for cb in callbacks:
             cb(it, ts, m)
+    if mesh is not None:
+        ts = ts.replace(gaussians=to_canonical(ts.gaussians, n_dev))
     return ts, history
 
 

@@ -252,3 +252,27 @@ def test_sharded_step_with_appearance(setup):
     for a, b in zip(jax.tree.leaves(ts_sh.app_params),
                     jax.tree.leaves(ts_ref.app_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_rebalance_roundtrip_and_balance():
+    """parallel/rebalance: strided redistribution is a bijection and spreads
+    a front-packed active prefix evenly across shard blocks."""
+    from radegs_tpu.parallel.rebalance import to_canonical, to_strided
+
+    rng = np.random.default_rng(0)
+    P, cap, n = 100, 256, 8
+    state = gm.create_from_points(
+        rng.normal(size=(P, 3)).astype(np.float32),
+        rng.uniform(size=(P, 3)).astype(np.float32), capacity=cap)
+
+    st = to_strided(state, n)
+    # balanced: every Cn-block holds ceil/floor(P/n) actives
+    blocks = np.asarray(st.active).reshape(n, cap // n).sum(axis=1)
+    assert blocks.max() - blocks.min() <= 1, blocks
+    # canonical layout is front-packed by construction: one block holds all
+    front = np.asarray(state.active).reshape(n, cap // n).sum(axis=1)
+    assert front.max() == cap // n
+
+    back = to_canonical(st, n)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
