@@ -172,7 +172,7 @@ def make_sharded_train_step(
         d = jax.lax.axis_index(AXIS)
         g = ts.gaussians
         Cn = g.capacity  # per-shard block
-        V = vis_capacity or Cn
+        V = min(vis_capacity, Cn) if vis_capacity else Cn
         it = ts.iteration + 1
         zeros2 = jnp.zeros((Cn, 2), jnp.float32)
         y0_tile_rows = d * band_tiles
@@ -341,6 +341,7 @@ def make_sharded_train_step(
                 "visibility": vis,
                 "vis_overflow": vis_overflow,
                 "n_vis": jnp.minimum(n_vis, V),  # rows actually carried
+                "n_vis_raw": n_vis,  # pre-cap count (V autotune signal)
                 "n_overflow": out["binning"].n_overflow,
                 "tile_overflow": out["binning"].tile_overflow,
                 "n_instances": out["binning"].n_instances,
@@ -416,6 +417,9 @@ def make_sharded_train_step(
             # let the harness report realized + ideal compression vs a full
             # parameter all-gather without any hardware timing
             "n_vis": jax.lax.psum(aux["n_vis"], AXIS),  # ideal (dynamic) rows
+            # worst single shard's pre-cap visible count: the V autotune
+            # (train loop) shrinks the static gather cap toward this peak
+            "n_vis_max": jax.lax.pmax(aux["n_vis_raw"], AXIS),
             "gather_rows": jnp.float32(n * V),  # realized rows moved
             "full_gather_rows": jnp.float32(n * Cn),  # naive design's rows
         }

@@ -39,6 +39,11 @@ class PipelineConfig:
     # the training loop's autotune pins this to the measured peak demand
     # rounded to a 2M-segment bucket (ops/binning.round_budget)
     instance_budget: int = 0
+    # mesh path only: static per-shard cap on the visibility-compressed
+    # gather (0 = lossless capacity/n). The loop's autotune shrinks it
+    # toward the measured per-shard visible peak (n_vis_max) — the gather
+    # bytes scale with this cap — and grows it back on n_vis_overflow.
+    vis_capacity: int = 0
     backend: str = "auto"  # "xla" | "pallas" | "auto"
 
 

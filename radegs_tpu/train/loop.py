@@ -231,7 +231,9 @@ class SceneLike(NamedTuple):
 
 def autotune_pipeline(pcfg: PipelineConfig, n_ovf: float, t_ovf: float,
                       window_peak: float, capacity: int,
-                      shrink_check: bool) -> tuple[PipelineConfig, bool]:
+                      shrink_check: bool, vis_ovf: float = 0.0,
+                      vis_peak: float = 0.0,
+                      per_shard_cap: int = 0) -> tuple[PipelineConfig, bool]:
     """One application of the budget grow/shrink policy — the TPU analogue of
     the reference's resizeFunctional arena growth (rasterize_points.cu:27-33).
 
@@ -285,6 +287,32 @@ def autotune_pipeline(pcfg: PipelineConfig, n_ovf: float, t_ovf: float,
         print(f"[radegs] tile overflow ({t_ovf:.0f}): growing max_per_tile to "
               f"{pcfg.max_per_tile}", flush=True)
         changed = True
+    # mesh path: autotune the per-shard visibility-gather cap V (gather
+    # bytes scale with V x n_devices; the strided rebalance keeps per-shard
+    # visible counts even, so the measured worst-shard peak ``vis_peak``
+    # (metrics n_vis_max) is a tight, safe target). Powers of two bucket
+    # the recompiles; never below 4096.
+    if per_shard_cap:
+        cur_v = min(pcfg.vis_capacity, per_shard_cap) if pcfg.vis_capacity \
+            else per_shard_cap
+
+        def v_bucket(x):
+            return min(per_shard_cap,
+                       max(1 << 12, 1 << (int(x) - 1).bit_length()))
+
+        if vis_ovf > 0 and cur_v < per_shard_cap:
+            new_v = min(per_shard_cap, max(v_bucket(vis_peak * 1.3), cur_v * 2))
+            pcfg = replace_cfg(pcfg, vis_capacity=new_v)
+            print(f"[radegs] vis overflow ({vis_ovf:.0f}): growing gather "
+                  f"cap {cur_v} -> {new_v}", flush=True)
+            changed = True
+        elif (shrink_check and vis_peak > 0
+              and v_bucket(vis_peak * 1.5) < cur_v):
+            new_v = v_bucket(vis_peak * 1.5)
+            pcfg = replace_cfg(pcfg, vis_capacity=new_v)
+            print(f"[radegs] gather cap underused (worst-shard peak "
+                  f"{vis_peak:.0f}/{cur_v}): shrinking to {new_v}", flush=True)
+            changed = True
     return pcfg, changed
 
 
@@ -349,6 +377,7 @@ def train(
             inner = make_sharded_train_step(
                 mcfg_, ocfg_, pcfg_, spatial_lr_scale=spatial_lr_scale,
                 mesh=mesh, width=W, height=H,
+                vis_capacity=pcfg_.vis_capacity or None,
             )
 
             def step(ts, cam, gt, bg_, vidx, width, height):
@@ -369,6 +398,7 @@ def train(
     start_it = int(ts.iteration)
     prev_metrics = None  # overflow is checked EVERY iteration, one step late
     window_peak = 0.0  # peak n_instances since the last budget-shrink check
+    vis_peak = 0.0  # worst-shard visible peak for the gather-cap autotune
     for it in range(start_it + 1, ocfg.iterations + 1):
         if it % 1000 == 0:
             ts = ts.replace(gaussians=gm.oneup_sh_degree(ts.gaussians))
@@ -422,13 +452,20 @@ def train(
         # truncated before the budget grows (vs up to log_every when polled).
         if prev_metrics is not None:
             window_peak = max(window_peak, float(prev_metrics["n_instances"]))
+            vis_peak = max(vis_peak,
+                           float(prev_metrics.get("n_vis_max", 0.0)))
             pcfg, changed = autotune_pipeline(
                 pcfg, float(prev_metrics["n_overflow"]),
                 float(prev_metrics["tile_overflow"]), window_peak,
                 ts.gaussians.capacity, shrink_check=(it % 100 == 0),
+                vis_ovf=float(prev_metrics.get("n_vis_overflow", 0.0)),
+                vis_peak=vis_peak,
+                per_shard_cap=(ts.gaussians.capacity // n_dev
+                               if mesh is not None else 0),
             )
             if it % 100 == 0:
                 window_peak = 0.0
+                vis_peak = 0.0
             if changed:
                 step_fn = make_step(mcfg, ocfg, pcfg, spatial_lr_scale=scene.extent)
         prev_metrics = metrics

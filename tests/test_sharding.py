@@ -276,3 +276,42 @@ def test_rebalance_roundtrip_and_balance():
     back = to_canonical(st, n)
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_autotune_vis_capacity_policy():
+    """Gather-cap autotune: shrink toward the measured worst-shard peak,
+    grow back on overflow, clamp to the per-shard capacity."""
+    from radegs_tpu.train.config import PipelineConfig
+    from radegs_tpu.train.loop import autotune_pipeline
+
+    cap = 1 << 17  # per-shard capacity
+
+    # lossless start + small measured peak -> shrink to pow2(peak*1.5)
+    p = PipelineConfig()
+    p2, changed = autotune_pipeline(p, 0, 0, 1000, cap * 8, shrink_check=True,
+                                    vis_ovf=0, vis_peak=20_000,
+                                    per_shard_cap=cap)
+    assert changed and p2.vis_capacity == 1 << 15  # 30000 -> 32768
+
+    # overflow grows (at least doubling), clamped at per-shard capacity
+    p3, changed = autotune_pipeline(p2, 0, 0, 1000, cap * 8,
+                                    shrink_check=False, vis_ovf=5000,
+                                    vis_peak=40_000, per_shard_cap=cap)
+    assert changed and p3.vis_capacity == 1 << 16
+    p4, changed = autotune_pipeline(p3, 0, 0, 1000, cap * 8,
+                                    shrink_check=False, vis_ovf=999_999,
+                                    vis_peak=float(cap * 2),
+                                    per_shard_cap=cap)
+    assert changed and p4.vis_capacity == cap
+    # at the cap, overflow can't grow further -> no flap
+    p5, changed = autotune_pipeline(p4, 0, 0, 1000, cap * 8,
+                                    shrink_check=False, vis_ovf=10,
+                                    vis_peak=float(cap), per_shard_cap=cap)
+    assert not changed
+
+    # single-device path (per_shard_cap=0): vis knob untouched (the
+    # instance-budget autotune may still fire — that's its own policy)
+    p6, _ = autotune_pipeline(PipelineConfig(), 0, 0, 1000, cap,
+                              shrink_check=True, vis_ovf=0,
+                              vis_peak=100, per_shard_cap=0)
+    assert p6.vis_capacity == 0
