@@ -60,6 +60,10 @@ SUB = int(_os0.environ.get("RADEGS_SUB", "128"))
 # (kept as a fallback — flip via env if a Mosaic version rejects the roll)
 _RING_IMPL = _os0.environ.get("RADEGS_RING_IMPL", "roll")
 
+# per-segment sort granularity of the MXU gradient reduction (0 = one
+# monolithic sort); segments let dead budget lanes skip the 26-operand sort
+SEGSUM_SEG = int(_os0.environ.get("RADEGS_SEGSUM_SEG", str(1 << 21)))
+
 
 def _check_sub(chunk: int) -> None:
     subk = min(SUB, chunk)
@@ -1107,7 +1111,9 @@ def blend_backward_pallas(
     if reduce_impl == "mxu":
         from radegs_tpu.ops.segsum import reduce_grad_rows_mxu
 
-        acc = reduce_grad_rows_mxu(grad_inst, total, P, interpret=interpret)
+        acc = reduce_grad_rows_mxu(
+            grad_inst, total, P, interpret=interpret,
+            seg_rows=(SEGSUM_SEG if B_out > SEGSUM_SEG > 0 else None))
     else:
         acc = _reduce_grad_rows(grad_inst, total, P)
 

@@ -20,13 +20,21 @@ Design (TPU-first, no scatter anywhere):
    ``rows (32, C) @ S^T (win, C) -> (32, win)``.  The one-hot is exact in
    any precision, alignment/garbage lanes fall out of the window and
    contribute zero, and accumulation order is deterministic (lane order
-   within a chunk, chunk order within a window) — no atomics, no
-   read-modify-write.
+   within a chunk, chunk order within a window, segment order across
+   segments) — no atomics, no read-modify-write.
 
 Out-of-window rows cost nothing: window w's row range [row_start[w],
 row_start[w+1]) comes from a binary search over the sorted keys, so the
 kernel's work is proportional to the REAL row count plus one chunk per
 non-empty window.
+
+``seg_rows``: XLA has no merge primitive, so ONE sort prices at the full
+static budget B_out even when most lanes are dead padding.  With
+``seg_rows`` set, each 2M-lane segment is sorted INDEPENDENTLY under
+``lax.cond`` (live rows are a prefix of the kernel's compaction-ring
+output, so trailing segments skip the sort entirely) and the kernel walks
+each window's row range in every segment — a merge-free segmented sort
+whose cost is proportional to the live rows.
 """
 
 from __future__ import annotations
@@ -57,64 +65,75 @@ def _searchsorted_left(keys, queries):
     return lo
 
 
-def _segsum_kernel(rs_ref, rows_hbm, out_ref, fbuf, sems, *, chunk: int, win: int):
+def _segsum_kernel(rs_ref, rows_hbm, out_ref, fbuf, sems, *, chunk: int,
+                   win: int, n_win: int, n_seg: int, seg_rows: int):
     w = pl.program_id(0)
-    r0 = rs_ref[w]
-    r1 = rs_ref[w + 1]
     C = chunk
-    r0a = (r0 // C) * C  # chunk-aligned window start (head lanes mask to 0)
-    nch = jnp.where(r1 > r0a, pl.cdiv(r1 - r0a, C), 0)
-
-    def dma(slot, k):
-        off = pl.multiple_of(r0a + k * C, C)
-        return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(off, C)], fbuf.at[slot], sems.at[slot]
-        )
-
-    @pl.when(nch > 0)
-    def _():
-        dma(0, 0).start()
-
     base = (w * win) * 1.0  # gids < 2^24: exact in f32
     jrow = jax.lax.broadcasted_iota(jnp.float32, (win, C), 0)
+    acc = jnp.zeros((N_GRAD_PAD, win), jnp.float32)
 
-    def body(k, acc):
-        slot = jax.lax.rem(k, 2)
+    for s in range(n_seg):  # static unroll; empty ranges cost nothing
+        r0 = rs_ref[s * (n_win + 1) + w]  # segment-local row range
+        r1 = rs_ref[s * (n_win + 1) + w + 1]
+        r0a = (r0 // C) * C  # chunk-aligned start (head lanes mask to 0)
+        nch = jnp.where(r1 > r0a, pl.cdiv(r1 - r0a, C), 0)
+        seg_base = s * seg_rows  # multiple of C (asserted host-side)
 
-        @pl.when(k + 1 < nch)
+        def dma(slot, k):
+            off = pl.multiple_of(seg_base + r0a + k * C, C)
+            return pltpu.make_async_copy(
+                rows_hbm.at[:, pl.ds(off, C)], fbuf.at[slot], sems.at[slot]
+            )
+
+        @pl.when(nch > 0)
         def _():
-            dma(1 - slot, k + 1).start()
+            dma(0, 0).start()
 
-        dma(slot, k).wait()
-        blk = fbuf[slot]  # (32, C): rows 0..24 grads, row 25 sorted gid
-        gid = blk[N_GRAD:N_GRAD + 1, :]  # (1, C)
-        # one-hot membership: S[j, i] = (gid[i] == base + j); rows outside
-        # [base, base+win) — window-head alignment lanes, next window's
-        # rows, dead/pad lanes (gid = n_win*win) — match nothing
-        s = jnp.where(jrow == gid - base, 1.0, 0.0)  # (win, C)
-        # contract the C lanes of both operands (an "NT" matmul, like
-        # flash-attention's q @ k^T).  One-hot operand is exact in bf16 but
-        # the gradient rows are not: HIGHEST keeps f32 operand precision.
-        part = jax.lax.dot_general(
-            blk, s, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (32, win)
-        return acc + part
+        def body(k, acc):
+            slot = jax.lax.rem(k, 2)
 
-    acc0 = jnp.zeros((N_GRAD_PAD, win), jnp.float32)
-    out_ref[...] = jax.lax.fori_loop(0, nch, body, acc0)
+            @pl.when(k + 1 < nch)
+            def _():
+                dma(1 - slot, k + 1).start()
+
+            dma(slot, k).wait()
+            blk = fbuf[slot]  # (32, C): rows 0..24 grads, row 25 sorted gid
+            gid = blk[N_GRAD:N_GRAD + 1, :]  # (1, C)
+            # one-hot membership: S[j, i] = (gid[i] == base + j); rows
+            # outside [base, base+win) — chunk-head alignment lanes, the
+            # next window's rows, dead/pad lanes (gid = n_win*win) — match
+            # nothing
+            sm = jnp.where(jrow == gid - base, 1.0, 0.0)  # (win, C)
+            # contract the C lanes of both operands (an "NT" matmul, like
+            # flash-attention's q @ k^T).  One-hot operand is exact in bf16
+            # but the gradient rows are not: HIGHEST keeps f32 operand
+            # precision.
+            part = jax.lax.dot_general(
+                blk, sm, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (32, win)
+            return acc + part
+
+        acc = jax.lax.fori_loop(0, nch, body, acc)
+
+    out_ref[...] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("P", "win", "chunk", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("P", "win", "chunk", "interpret",
+                                    "seg_rows"))
 def reduce_grad_rows_mxu(grad_inst, total, P: int, *, win: int = 512,
-                         chunk: int = 1024, interpret: bool = False):
+                         chunk: int = 1024, interpret: bool = False,
+                         seg_rows: int | None = None):
     """Instance -> gaussian gradient reduction, (N_GRAD_PAD, B_out) -> (N_GRAD, P).
 
     Drop-in replacement for ``pallas_blend._reduce_grad_rows`` (same
     contract: gid in row N_GRAD as f32, rows past ``total`` or with gid
     outside [0, P) ignored), built on sort + MXU one-hot matmuls instead of
-    a scatter-add.
+    a scatter-add.  ``seg_rows`` (multiple of ``chunk``) sorts per segment
+    so dead budget lanes skip the sort (see module docstring).
     """
     B_out = grad_inst.shape[1]
     n_win = -(-P // win)
@@ -132,22 +151,53 @@ def reduce_grad_rows_mxu(grad_inst, total, P: int, *, win: int = 512,
     # dropped row).
     ops = (key,) + tuple(jnp.where(live, grad_inst[i], 0.0)
                          for i in range(N_GRAD))
-    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    key_s = sorted_ops[0]
 
-    Bp = -(-B_out // chunk) * chunk
+    if seg_rows is None:
+        seg = -(-B_out // chunk) * chunk  # one segment, chunk-padded
+    else:
+        assert seg_rows % chunk == 0, (seg_rows, chunk)
+        seg = seg_rows
+    n_seg = -(-B_out // seg)
+    Bp = n_seg * seg
     pad = Bp - B_out
-    key_sp = jnp.pad(key_s, (0, pad), constant_values=dead)
+    ops = tuple(
+        jnp.pad(op, (0, pad), constant_values=(dead if i == 0 else 0))
+        for i, op in enumerate(ops)
+    )
+
+    queries = jnp.arange(n_win + 1, dtype=jnp.int32) * win
+    sorted_parts = []  # per segment: tuple of sorted operands
+    starts = []  # per segment: (n_win+1,) local row ranges
+    for s in range(n_seg):
+        s0, s1 = s * seg, (s + 1) * seg
+        ops_s = tuple(op[s0:s1] for op in ops)
+        if s == 0:
+            ops_s = jax.lax.sort(ops_s, num_keys=1, is_stable=False)
+        else:
+            # trailing segments past the compaction ring's live prefix are
+            # all-dead (key == dead everywhere after masking): already
+            # "sorted", skip the work
+            ops_s = jax.lax.cond(
+                s0 < total,
+                lambda o: jax.lax.sort(o, num_keys=1, is_stable=False),
+                lambda o: o,
+                ops_s,
+            )
+        sorted_parts.append(ops_s)
+        # all-dead segments: every key == dead >= every query -> empty
+        # ranges [0, 0) fall out of the same searchsorted
+        starts.append(_searchsorted_left(ops_s[0], queries).astype(jnp.int32))
+
+    key_s = jnp.concatenate([p[0] for p in sorted_parts])
     zero = jnp.zeros((Bp,), jnp.float32)
     rows = jnp.stack(
-        [jnp.pad(r, (0, pad)) for r in sorted_ops[1:]]
-        + [key_sp.astype(jnp.float32)]
+        [jnp.concatenate([p[i + 1] for p in sorted_parts])
+         for i in range(N_GRAD)]
+        + [key_s.astype(jnp.float32)]
         + [zero] * (N_GRAD_PAD - N_GRAD - 1),
         axis=0,
     )  # (32, Bp)
-
-    queries = jnp.arange(n_win + 1, dtype=jnp.int32) * win
-    row_start = _searchsorted_left(key_s, queries).astype(jnp.int32)
+    row_start = jnp.concatenate(starts)  # (n_seg * (n_win+1),)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -161,7 +211,8 @@ def reduce_grad_rows_mxu(grad_inst, total, P: int, *, win: int = 512,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_segsum_kernel, chunk=chunk, win=win),
+        functools.partial(_segsum_kernel, chunk=chunk, win=win, n_win=n_win,
+                          n_seg=n_seg, seg_rows=seg),
         out_shape=jax.ShapeDtypeStruct((N_GRAD_PAD, n_win * win), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -109,3 +109,33 @@ def test_backward_blend_reduce_impl_parity():
         a, b = np.asarray(gs[k]), np.asarray(gm[k])
         rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
         assert rel < 1e-5, (k, rel)
+
+
+@pytest.mark.parametrize("total_frac", [1.0, 0.4, 0.0])
+def test_segmented_sort_matches_monolithic(total_frac):
+    """seg_rows: per-segment independent sorts + multi-run kernel walk must
+    match the monolithic sort, incl. gaussians whose rows span segments and
+    fully-dead trailing segments that skip the sort."""
+    P, B_out = 300, 4096
+    total = int(B_out * total_frac)
+    gi, _ = _case(P, B_out, total, 123, "uniform")
+    mono = reduce_grad_rows_mxu(gi, jnp.int32(total), P, win=128, chunk=256,
+                                interpret=True)
+    seg = reduce_grad_rows_mxu(gi, jnp.int32(total), P, win=128, chunk=256,
+                               interpret=True, seg_rows=1024)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(mono),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_segmented_sort_numpy_oracle():
+    P, B_out, total = 37, 2048, 1500
+    gi, gid = _case(P, B_out, total, 9)
+    got = np.asarray(reduce_grad_rows_mxu(gi, jnp.int32(total), P, win=128,
+                                          chunk=128, interpret=True,
+                                          seg_rows=512))
+    g = np.asarray(gi)
+    want = np.zeros((P, N_GRAD), np.float32)
+    for i in range(total):
+        if 0 <= gid[i] < P:
+            want[gid[i]] += g[:N_GRAD, i]
+    np.testing.assert_allclose(got.T, want, atol=1e-4)
