@@ -43,6 +43,13 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--synthetic", action="store_true",
                    help="train on a tiny built-in synthetic scene (no dataset needed)")
+    p.add_argument("--multichip", action="store_true",
+                   help="shard training over ALL visible devices (the "
+                        "explicit visibility-compressed mesh step, "
+                        "parallel/step.py). Single device = no-op.")
+    p.add_argument("--cpu_devices", type=int, default=0,
+                   help="with --device cpu: number of virtual CPU devices "
+                        "(test the --multichip path without TPU hardware)")
     from radegs_tpu.utils.platform import add_device_arg
     add_device_arg(p)
     return p.parse_args(argv)
@@ -81,6 +88,10 @@ def main(argv=None):
     from radegs_tpu.utils.platform import apply_device
     apply_device(args.device)
     import jax
+
+    if args.cpu_devices:
+        assert args.device == "cpu", "--cpu_devices requires --device cpu"
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
     import jax.numpy as jnp
 
     from radegs_tpu.models import gaussian_model as gm
@@ -221,10 +232,18 @@ def main(argv=None):
 
         callbacks.append(on_gui)
 
+    mesh = None
+    if args.multichip and len(jax.devices()) > 1:
+        from radegs_tpu.parallel.step import make_mesh_1d
+
+        mesh = make_mesh_1d(jax.devices())
+        print(f"multichip: sharding over {len(jax.devices())} devices",
+              flush=True)
+
     ts, history = train(
         scene, gaussians, mcfg, ocfg, pcfg, seed=args.seed,
         log_every=args.log_every, callbacks=tuple(callbacks),
-        resume_state=resume_state,
+        resume_state=resume_state, mesh=mesh,
     )
 
     # final snapshot
