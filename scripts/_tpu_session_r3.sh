@@ -31,4 +31,10 @@ timeout 1200 python scripts/_micro_sort.py --which sortpay --b $((1<<23)) || ech
 stamp "mm-precision=high probe (100k)"
 timeout 2400 env RADEGS_MM_PRECISION=high python bench.py || echo MM_HIGH_FAILED
 
+stamp "quality_dense (bounded fallback run)"
+# a bounded protocol run so the round has a QUALITY artifact even if the
+# full 7k run (scripts/_tpu_quality_r3.sh) doesn't fit before round end
+timeout 7200 python scripts/quality_dense.py --iters 1500 \
+  --eval_iters 500 1500 --report QUALITY_r03.json || echo QUALITY_FAILED
+
 stamp done
