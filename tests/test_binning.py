@@ -166,3 +166,22 @@ def test_segmented_expansion_matches_monolithic():
               "sorted_orig", "n_instances", "n_culled", "tile_overflow"):
         np.testing.assert_array_equal(np.asarray(getattr(mono, f)),
                                       np.asarray(getattr(seg, f)), err_msg=f)
+
+
+def test_round_budget_buckets():
+    """Compile-bucket policy: powers of two below one 2M segment, 2M-segment
+    multiples above, capped at the f32-exact bound."""
+    from radegs_tpu.ops.binning import (BUDGET_SEG, MAX_INSTANCE_BUDGET,
+                                        round_budget)
+
+    assert round_budget(1) == 1 << 14  # minimum
+    assert round_budget(100_000) == 1 << 17
+    assert round_budget(BUDGET_SEG) == BUDGET_SEG
+    assert round_budget(BUDGET_SEG + 1) == 2 * BUDGET_SEG
+    assert round_budget(10_500_000) == 6 * BUDGET_SEG  # not 16M
+    assert round_budget(10 ** 9) == MAX_INSTANCE_BUDGET
+    # every budget above one segment is segment-aligned (the segmented
+    # stages' lax.cond boundaries rely on it)
+    for need in (3_000_000, 5_555_555, 12_000_001):
+        assert round_budget(need) % BUDGET_SEG == 0
+        assert round_budget(need) >= need
