@@ -315,3 +315,38 @@ def test_autotune_vis_capacity_policy():
                               shrink_check=True, vis_ovf=0,
                               vis_peak=100, per_shard_cap=0)
     assert p6.vis_capacity == 0
+
+
+def test_autotune_instance_budget_policy():
+    """Budget autotune: overflow grows by >=1.5x toward the peak-derived
+    bucket; shrink needs a full segment AND >=15% slack; cap respected."""
+    from radegs_tpu.ops.binning import BUDGET_SEG, MAX_INSTANCE_BUDGET
+    from radegs_tpu.train.config import PipelineConfig
+    from radegs_tpu.train.loop import autotune_pipeline
+
+    seg = BUDGET_SEG
+    # overflow at 8M budget, peak demand 10.5M -> >= max(6 segs, 1.5x)
+    p = PipelineConfig(instance_budget=4 * seg)
+    p2, ch = autotune_pipeline(p, n_ovf=1e5, t_ovf=0, window_peak=10_500_000,
+                               capacity=1 << 21, shrink_check=False)
+    assert ch and p2.instance_budget == 7 * seg  # round_budget(10.5M*1.3)
+
+    # tiny peak: shrink fires only on the shrink_check tick
+    p3, ch = autotune_pipeline(p2, 0, 0, window_peak=1_000_000,
+                               capacity=1 << 21, shrink_check=False)
+    assert not ch
+    p4, ch = autotune_pipeline(p2, 0, 0, window_peak=1_000_000,
+                               capacity=1 << 21, shrink_check=True)
+    assert ch and p4.instance_budget == round(2 ** 21)  # pow2 below a segment
+
+    # peak just under budget: no flap (needs >= max(1 seg, 15%) slack)
+    p5, ch = autotune_pipeline(p2, 0, 0, window_peak=5 * seg,
+                               capacity=1 << 21, shrink_check=True)
+    assert not ch
+
+    # at the cap, overflow only warns
+    p6 = PipelineConfig(instance_budget=MAX_INSTANCE_BUDGET)
+    p7, ch = autotune_pipeline(p6, n_ovf=1e6, t_ovf=0,
+                               window_peak=float(MAX_INSTANCE_BUDGET * 2),
+                               capacity=1 << 22, shrink_check=False)
+    assert not ch
