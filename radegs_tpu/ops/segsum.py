@@ -57,11 +57,16 @@ def _searchsorted_left(keys, queries):
     lo = jnp.zeros_like(queries)
     hi = jnp.full_like(queries, B)
     for _ in range(max(1, B.bit_length())):
+        # fixed unroll: once lo == hi the lane is DONE and must freeze —
+        # an unguarded step re-tests mid == lo and pushes lo past B when
+        # the query exceeds every key (off-by-one that made the caller
+        # walk one chunk into the NEXT segment's rows)
+        active = lo < hi
         mid = (lo + hi) >> 1
         km = keys[jnp.clip(mid, 0, B - 1)]
-        go_right = km < queries
+        go_right = active & (km < queries)
         lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
+        hi = jnp.where(active & ~go_right, mid, hi)
     return lo
 
 
@@ -70,7 +75,9 @@ def _segsum_kernel(rs_ref, rows_hbm, out_ref, fbuf, sems, *, chunk: int,
     w = pl.program_id(0)
     C = chunk
     base = (w * win) * 1.0  # gids < 2^24: exact in f32
-    jrow = jax.lax.broadcasted_iota(jnp.float32, (win, C), 0)
+    # int iota then convert: Mosaic's tpu.iota is integer-only (an f32
+    # broadcasted_iota fails MLIR verification at lowering time)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (win, C), 0).astype(jnp.float32)
     acc = jnp.zeros((N_GRAD_PAD, win), jnp.float32)
 
     for s in range(n_seg):  # static unroll; empty ranges cost nothing

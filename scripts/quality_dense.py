@@ -173,6 +173,19 @@ def main():
     eval_log = []
     stamps = []
 
+    # incremental report: a timeout mid-run must still leave an artifact
+    report = {
+        "protocol": "quality_dense analytic-surface (sphere+plane)",
+        "iters": args.iters,
+        "resolution": [W, H],
+        "partial": True,
+        "eval": eval_log,
+    }
+
+    def flush_report():
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=2)
+
     def eval_test(ts, it):
         ps = []
         for cam, gt_img, _ in test_views:
@@ -184,6 +197,7 @@ def main():
                "psnr_per_view": ps,
                "n_active": int(ts.gaussians.n_active())}
         eval_log.append(rec)
+        flush_report()
         print(f"[eval {it}] test psnr {rec['psnr_test']:.2f} "
               f"({rec['n_active']} splats)", flush=True)
 

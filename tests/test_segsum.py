@@ -127,6 +127,37 @@ def test_segmented_sort_matches_monolithic(total_frac):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_searchsorted_query_past_all_keys():
+    """Regression: the fixed-unroll binary search must clamp at B when the
+    query exceeds every key — the unguarded version returned B+1, making the
+    segment walk read one chunk into the NEXT segment (double counts)."""
+    from radegs_tpu.ops.segsum import _searchsorted_left
+
+    keys = jnp.asarray(np.sort(np.random.default_rng(0).integers(
+        0, 600, 2048)), jnp.int32)
+    q = jnp.asarray([0, 512, 1024, 4096], jnp.int32)
+    got = np.asarray(_searchsorted_left(keys, q))
+    want = np.searchsorted(np.asarray(keys), np.asarray(q), side="left")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_production_config_multi_segment_numpy_oracle():
+    """Regression: the win=512/chunk=1024 production config with >=2 LIVE
+    segments (the dense-path shape) — exactly the geometry where the
+    searchsorted overrun double-counted the next segment's rows."""
+    P, B_out, total = 600, 4096, 3000
+    gi, gid = _case(P, B_out, total, 3)
+    got = np.asarray(reduce_grad_rows_mxu(gi, jnp.int32(total), P, win=512,
+                                          chunk=1024, interpret=True,
+                                          seg_rows=2048))
+    g = np.asarray(gi)
+    want = np.zeros((P, N_GRAD), np.float32)
+    for i in range(total):
+        if 0 <= gid[i] < P:
+            want[gid[i]] += g[:N_GRAD, i]
+    np.testing.assert_allclose(got.T, want, atol=1e-3)
+
+
 def test_segmented_sort_numpy_oracle():
     P, B_out, total = 37, 2048, 1500
     gi, gid = _case(P, B_out, total, 9)
