@@ -307,34 +307,12 @@ def inner_main(args):
     print(json.dumps(rec))
 
 
-def orchestrate(args, argv):
-    """Parent-process harness: probe -> run child -> retry through wedges.
+def _run_scene(argv, inner_timeout):
+    """Probe -> run child -> retry through wedges for ONE scene's argv.
 
-    Never exits nonzero for TPU unavailability: the final fallback prints a
-    well-formed JSON line with an ``error`` field so the driver's capture
-    always parses (VERDICT r2 #2)."""
-    # Another process holding the TPU makes every probe hang. Report (do NOT
-    # kill by pattern — see CLAUDE.md); the operator/driver must resolve it.
-    me = os.getpid()
-    try:
-        others = [
-            line for line in subprocess.run(
-                ["ps", "-eo", "pid,comm,etime"], capture_output=True, text=True,
-                timeout=10,
-            ).stdout.splitlines()[1:]
-            if "python" in line and int(line.split()[0]) != me
-        ]
-        if others:
-            print(f"# WARNING: other python processes alive (may hold the "
-                  f"TPU): {others}", file=sys.stderr, flush=True)
-    except Exception:
-        pass
-
-    suffix = "" if args.scene == "100k" else f"_{args.scene}"
-    metric = f"rays_per_s_per_chip_fwd_bwd_1600x1200{suffix}"
+    Returns (record_dict_or_None, last_err). Never raises for TPU
+    unavailability."""
     last_err = "unknown"
-    inner_timeout = 3600 if (args.scene == "dense" or args.trace) else 2700
-
     attempt = 0
     while attempt < RUN_ATTEMPTS:
         attempt += 1
@@ -356,7 +334,7 @@ def orchestrate(args, argv):
                   f"(probe {p + 1}/{PROBE_ATTEMPTS})", file=sys.stderr, flush=True)
             time.sleep(QUIET_WAIT)
         if not probe_ok:
-            break
+            return None, last_err
 
         # --- real run in a child with a hard timeout ---
         env = dict(os.environ, RADEGS_BENCH_INNER="1")
@@ -365,7 +343,7 @@ def orchestrate(args, argv):
                 [sys.executable, os.path.abspath(__file__)] + argv,
                 env=env, capture_output=True, text=True, timeout=inner_timeout,
             )
-        except subprocess.TimeoutExpired as e:
+        except subprocess.TimeoutExpired:
             last_err = f"bench run hung >{inner_timeout}s (tunnel wedge mid-run)"
             print(f"# {last_err}; waiting {QUIET_WAIT}s quiet",
                   file=sys.stderr, flush=True)
@@ -374,21 +352,77 @@ def orchestrate(args, argv):
         if r.stderr.strip():
             print(r.stderr, file=sys.stderr, flush=True)
         if r.returncode == 0 and '"metric"' in r.stdout:
-            print(r.stdout, end="" if r.stdout.endswith("\n") else "\n",
-                  flush=True)
-            return 0
+            for line in r.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("#"):
+                    print(line, flush=True)
+                elif line.startswith("{") and '"metric"' in line:
+                    return json.loads(line), last_err
+            last_err = "child printed no parseable JSON line"
+            return None, last_err
         last_err = (f"bench rc={r.returncode}: "
                     f"{(r.stderr or r.stdout).strip()[-400:]}")
         print(f"# {last_err}", file=sys.stderr, flush=True)
         if "UNAVAILABLE" in last_err or "DEADLINE" in last_err:
             time.sleep(QUIET_WAIT)
             continue
-        break  # a real (non-tunnel) failure: retrying won't help
+        return None, last_err  # a real (non-tunnel) failure: retrying won't help
+    return None, last_err
 
-    print(json.dumps({
-        "metric": metric, "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
-        "error": last_err[:400],
-    }))
+
+def orchestrate(args, argv):
+    """Parent-process harness: probe -> run child(ren) -> retry through wedges.
+
+    Default (no --scene): runs BOTH the 100k headline scene and the dense
+    --auto scene and merges them into ONE JSON line (VERDICT r3 #8) — the
+    headline metric stays the 100k number; ``value_dense``/``vs_baseline_dense``
+    carry the converged-scene measurement so rounds are judged on both.
+
+    Never exits nonzero for TPU unavailability: the final fallback prints a
+    well-formed JSON line with an ``error`` field so the driver's capture
+    always parses (VERDICT r2 #2)."""
+    # Another process holding the TPU makes every probe hang. Report (do NOT
+    # kill by pattern — see CLAUDE.md); the operator/driver must resolve it.
+    me = os.getpid()
+    try:
+        others = [
+            line for line in subprocess.run(
+                ["ps", "-eo", "pid,comm,etime"], capture_output=True, text=True,
+                timeout=10,
+            ).stdout.splitlines()[1:]
+            if "python" in line and int(line.split()[0]) != me
+        ]
+        if others:
+            print(f"# WARNING: other python processes alive (may hold the "
+                  f"TPU): {others}", file=sys.stderr, flush=True)
+    except Exception:
+        pass
+
+    if args.scene != "both":
+        suffix = "" if args.scene == "100k" else f"_{args.scene}"
+        metric = f"rays_per_s_per_chip_fwd_bwd_1600x1200{suffix}"
+        inner_timeout = 4200 if (args.scene == "dense" or args.trace) else 2700
+        rec, last_err = _run_scene(argv, inner_timeout)
+        if rec is None:
+            rec = {"metric": metric, "value": 0.0, "unit": "rays/s",
+                   "vs_baseline": 0.0, "error": last_err[:400]}
+        print(json.dumps(rec))
+        return 0
+
+    # --- scene "both": headline 100k + dense --auto, one merged line ---
+    passthrough = [a for a in argv if a not in ("--scene", "both")]
+    rec, err_100k = _run_scene(["--scene", "100k"] + passthrough, 2700)
+    drec, err_dense = _run_scene(
+        ["--scene", "dense", "--auto", "--no-parity"] + passthrough, 4200)
+    if rec is None:
+        rec = {"metric": "rays_per_s_per_chip_fwd_bwd_1600x1200", "value": 0.0,
+               "unit": "rays/s", "vs_baseline": 0.0, "error": err_100k[:400]}
+    if drec is not None:
+        rec["value_dense"] = drec["value"]
+        rec["vs_baseline_dense"] = drec["vs_baseline"]
+    else:
+        rec["dense_error"] = err_dense[:400]
+    print(json.dumps(rec))
     return 0
 
 
@@ -399,9 +433,11 @@ def main():
     ap.add_argument("--trace", type=str, default=None,
                     help="capture a jax.profiler trace of 3 steps to DIR "
                          "(per-stage breakdown: scripts/bench_breakdown.py)")
-    ap.add_argument("--scene", choices=["100k", "dense"], default="100k",
+    ap.add_argument("--scene", choices=["100k", "dense", "both"], default="both",
                     help="'dense': 1.2M surface splats at true 3-NN scales "
-                         "(converged-scene analogue, no scale hack)")
+                         "(converged-scene analogue, no scale hack); 'both' "
+                         "(default, orchestrator only): run 100k then dense "
+                         "--auto and merge into one JSON line")
     ap.add_argument("--auto", action="store_true",
                     help="dense only: start from default PipelineConfig and "
                          "run the training loop's budget grow/shrink policy "
@@ -411,6 +447,8 @@ def main():
     args, _ = ap.parse_known_args()
 
     if os.environ.get("RADEGS_BENCH_INNER"):
+        if args.scene == "both":  # 'both' is an orchestrator-level mode
+            args.scene = "100k"
         inner_main(args)
     else:
         sys.exit(orchestrate(args, sys.argv[1:]))

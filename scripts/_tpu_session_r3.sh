@@ -10,11 +10,8 @@ stamp() { echo "=== $1 $(date +%T) ==="; }
 stamp probe
 timeout 200 python -c "import jax, jax.numpy as jnp; x = jnp.ones((128,128)) @ jnp.ones((128,128)); print('PROBE_OK', float(x[0,0]), jax.devices()[0].platform)" || { echo PROBE_FAILED; exit 1; }
 
-stamp "bench 100k (headline + parity)"
-timeout 4200 python bench.py
-
-stamp "bench dense --auto"
-timeout 5400 python bench.py --scene dense --auto --no-parity
+stamp "bench (headline 100k + parity, then dense --auto; one merged JSON line)"
+timeout 9000 python bench.py
 
 stamp "breakdown 100k"
 timeout 2400 python scripts/bench_breakdown.py --iters 8 || echo BREAKDOWN_100K_FAILED
@@ -29,7 +26,7 @@ stamp "micro_sort sortpay B=8M"
 timeout 1200 python scripts/_micro_sort.py --which sortpay --b $((1<<23)) || echo MICRO_SORTPAY_FAILED
 
 stamp "mm-precision=high probe (100k)"
-timeout 2400 env RADEGS_MM_PRECISION=high python bench.py || echo MM_HIGH_FAILED
+timeout 2400 env RADEGS_MM_PRECISION=high python bench.py --scene 100k --no-parity || echo MM_HIGH_FAILED
 
 stamp "quality_dense (bounded fallback run)"
 # a bounded protocol run so the round has a QUALITY artifact even if the
