@@ -68,7 +68,8 @@ class TileBinning(NamedTuple):
     tile_overflow: Any  # () int32 — instances dropped by the K cap
     max_tile_count: Any  # () int32
     # permutation metadata (diagnostics; no hot-path consumers):
-    sorted_orig: Any  # (B,) int32 expand slot of each sorted instance
+    sorted_orig: Any  # (B,) int32 expand slot per sorted instance; None
+    # unless need_sorted_orig (it would ride the sort as a 3rd column)
     expand_offsets: Any  # (P,) int32 expand-run start per DEPTH-ORDERED gaussian (<= B)
     n_culled: Any  # () int32 — instances removed by the exact tile test
 
@@ -139,6 +140,7 @@ def bin_gaussians(
     opacity=None,
     need_tile_gauss: bool = True,
     seg_rows: int = 1 << 21,
+    need_sorted_orig: bool = False,
 ) -> TileBinning:
     """Build the tile work lists. All shapes static; jit/vmap/shard-friendly.
 
@@ -296,17 +298,29 @@ def bin_gaussians(
     T_sent = num_tiles
     tid_all = jnp.concatenate([tid, jnp.arange(T_sent, dtype=jnp.int32)])
     gid_all = jnp.concatenate([gid, jnp.full((T_sent,), -1, jnp.int32)])
-    orig_all = jnp.concatenate(
-        [jnp.arange(B, dtype=jnp.int32), jnp.full((T_sent,), -1, jnp.int32)]
-    )
-    tid_s, gid_s, orig_s = jax.lax.sort(
-        (tid_all, gid_all, orig_all), num_keys=1, is_stable=True
-    )
+    if need_sorted_orig:
+        # diagnostics-only permutation column (no hot-path consumers) —
+        # carrying it through the sort costs a third of the sort's data
+        # movement, so it is opt-in
+        orig_all = jnp.concatenate(
+            [jnp.arange(B, dtype=jnp.int32), jnp.full((T_sent,), -1, jnp.int32)]
+        )
+        tid_s, gid_s, orig_s = jax.lax.sort(
+            (tid_all, gid_all, orig_all), num_keys=1, is_stable=True
+        )
+    else:
+        tid_s, gid_s = jax.lax.sort(
+            (tid_all, gid_all), num_keys=1, is_stable=True
+        )
+        orig_s = None
     Bs = B + T_sent
 
     # sentinel t sits at position s_pos[t]; real rows of tile t occupy
-    # (s_pos[t-1], s_pos[t]) exclusive of both sentinels
-    flag = (orig_s < 0) & (tid_s < num_tiles)
+    # (s_pos[t-1], s_pos[t]) exclusive of both sentinels. Sentinels are
+    # exactly the rows with gid < 0 AND a real tile id: real slots always
+    # carry gid >= 0 (culled slots keep their gid but move to tid=num_tiles;
+    # padding slots have gid=-1 but also tid=num_tiles).
+    flag = (gid_s < 0) & (tid_s < num_tiles)
     cumflag = jnp.cumsum(flag.astype(jnp.int32))  # inclusive
     s_pos = (
         jnp.zeros((T_sent + 1,), jnp.int32)

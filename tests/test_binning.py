@@ -160,12 +160,40 @@ def test_segmented_expansion_matches_monolithic():
               conic=jnp.asarray(conic), opacity=jnp.asarray(opacity))
     args = (jnp.asarray(xy), jnp.asarray(radius), jnp.asarray(depth),
             jnp.asarray(valid))
-    mono = bin_gaussians(*args, **kw, seg_rows=1 << 21)  # single segment
-    seg = bin_gaussians(*args, **kw, seg_rows=512)       # 16 segments
+    mono = bin_gaussians(*args, **kw, seg_rows=1 << 21,
+                         need_sorted_orig=True)  # single segment
+    seg = bin_gaussians(*args, **kw, seg_rows=512,
+                        need_sorted_orig=True)   # 16 segments
     for f in ("gauss_id", "tile_id", "tile_start", "tile_count",
               "sorted_orig", "n_instances", "n_culled", "tile_overflow"):
         np.testing.assert_array_equal(np.asarray(getattr(mono, f)),
                                       np.asarray(getattr(seg, f)), err_msg=f)
+
+
+def test_sort_without_orig_column_matches():
+    """The default 2-column (tid, gid) sort must produce identical hot-path
+    outputs to the 3-column diagnostics sort (sentinel detection now keys on
+    gid < 0 & tid < num_tiles instead of the orig column)."""
+    P, W, H = 120, 128, 96
+    xy = RNG.uniform(-10, 140, size=(P, 2)).astype(np.float32)
+    radius = RNG.uniform(0, 30, size=(P,)).astype(np.float32).round()
+    depth = RNG.uniform(0.5, 10, size=(P,)).astype(np.float32)
+    valid = RNG.uniform(size=P) > 0.2
+    conic = np.tile(np.asarray([0.02, 0.0, 0.02], np.float32), (P, 1))
+    conic += RNG.uniform(0, 0.01, size=(P, 3)).astype(np.float32)
+    opacity = RNG.uniform(0.05, 1.0, size=(P,)).astype(np.float32)
+    kw = dict(width=W, height=H, instance_budget=1 << 12, max_per_tile=48,
+              conic=jnp.asarray(conic), opacity=jnp.asarray(opacity))
+    args = (jnp.asarray(xy), jnp.asarray(radius), jnp.asarray(depth),
+            jnp.asarray(valid))
+    with_orig = bin_gaussians(*args, **kw, need_sorted_orig=True)
+    without = bin_gaussians(*args, **kw)
+    assert without.sorted_orig is None
+    for f in ("gauss_id", "tile_id", "tile_start", "tile_count", "tile_gauss",
+              "n_instances", "n_culled", "tile_overflow", "n_overflow"):
+        np.testing.assert_array_equal(np.asarray(getattr(with_orig, f)),
+                                      np.asarray(getattr(without, f)),
+                                      err_msg=f)
 
 
 def test_round_budget_buckets():
