@@ -25,6 +25,15 @@ def main(argv=None):
     p.add_argument("--iteration", type=int, default=-1)
     p.add_argument("--voxel_size", type=float, default=0.002)
     p.add_argument("--max_resolution", type=int, default=768)
+    p.add_argument("--unbounded", action="store_true",
+                   help="Mip-360-style contracted-space extraction "
+                        "(utils/mesh_utils.py:163-270) instead of bounded "
+                        "TSDF fusion")
+    p.add_argument("--mesh_res", type=int, default=512,
+                   help="contracted-grid resolution for --unbounded")
+    p.add_argument("--cluster_to_keep", type=int, default=0,
+                   help="if > 0, post-process the mesh down to the N "
+                        "largest connected clusters (mesh_utils.py:23-44)")
     from radegs_tpu.utils.platform import add_device_arg, apply_device
     add_device_arg(p)
     args = get_combined_args(p, argv)
@@ -43,11 +52,29 @@ def main(argv=None):
                   eval_split=False, white_background=mcfg.white_background,
                   resolution=mcfg.resolution, shuffle=False)
     bg = jnp.ones(3)  # reference uses white bg for extraction (mesh_extract.py:44)
-    extract_mesh_tsdf(
-        state, scene.getTrainCameras(), kernel_size=mcfg.kernel_size, bg=bg,
-        voxel_size=args.voxel_size, max_resolution=args.max_resolution,
-        out_path=os.path.join(mcfg.model_path, "recon.ply"),
-    )
+    out_path = os.path.join(mcfg.model_path, "recon.ply")
+    if args.unbounded:
+        from radegs_tpu.mesh.unbounded import extract_mesh_unbounded
+
+        verts, faces, _ = extract_mesh_unbounded(
+            state, scene.getTrainCameras(), kernel_size=mcfg.kernel_size,
+            bg=bg, resolution=args.mesh_res, out_path=out_path,
+        )
+    else:
+        verts, faces = extract_mesh_tsdf(
+            state, scene.getTrainCameras(), kernel_size=mcfg.kernel_size,
+            bg=bg, voxel_size=args.voxel_size,
+            max_resolution=args.max_resolution, out_path=out_path,
+        )
+    if args.cluster_to_keep > 0:
+        from radegs_tpu.mesh.culling import post_process_mesh
+        from radegs_tpu.utils.ply import write_mesh
+
+        pv, pf = post_process_mesh(verts, faces,
+                                   cluster_to_keep=args.cluster_to_keep)
+        post_path = out_path.replace(".ply", "_post.ply")
+        write_mesh(post_path, pv, pf)
+        print(f"post-processed {len(faces)} -> {len(pf)} faces: {post_path}")
 
 
 if __name__ == "__main__":
