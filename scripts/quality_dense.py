@@ -107,7 +107,17 @@ def main():
     ap.add_argument("--report", type=str, default="QUALITY_r03.json")
     ap.add_argument("--densify_until", type=int, default=None)
     ap.add_argument("--skip_mesh", action="store_true")
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="orbax dir: save at each eval iteration and resume "
+                         "from it if present (a timeout mid-30k-run loses "
+                         "nothing)")
+    ap.add_argument("--width", type=int, default=None,
+                    help="override the protocol 1600x1200 (CPU smoke runs)")
+    ap.add_argument("--height", type=int, default=None)
+    from radegs_tpu.utils.platform import add_device_arg, apply_device
+    add_device_arg(ap)
     args = ap.parse_args()
+    apply_device(args.device)
 
     import bench
     import jax
@@ -115,13 +125,17 @@ def main():
     from soak_dense import orbit_cameras
 
     from radegs_tpu.models import gaussian_model as gm
+    from radegs_tpu.utils.compilelog import CompileCounter
+
+    compiles = CompileCounter().install()
     from radegs_tpu.ops.ssim import psnr
     from radegs_tpu.renderer import render_compiled
     from radegs_tpu.train.config import (ModelConfig, OptimizationConfig,
                                          PipelineConfig)
     from radegs_tpu.train.loop import SceneLike, train
 
-    W, H = bench.WIDTH, bench.HEIGHT
+    W = args.width or bench.WIDTH
+    H = args.height or bench.HEIGHT
     rng = np.random.default_rng(0)
     pts = bench._surface_points(args.n_points, rng, noise=0.0)
     cols = rng.uniform(0.1, 0.9, size=(args.n_points, 3)).astype(np.float32)
@@ -172,6 +186,8 @@ def main():
     eval_at = sorted(set(min(e, args.iters) for e in args.eval_iters))
     eval_log = []
     stamps = []
+    health = {"overflow_events": 0, "overflow_instances": 0.0,
+              "nan_events": 0}
 
     # incremental report: a timeout mid-run must still leave an artifact
     report = {
@@ -180,9 +196,24 @@ def main():
         "resolution": [W, H],
         "partial": True,
         "eval": eval_log,
+        "health": health,
     }
 
+    def phase_rates():
+        """it/s per 1000-iteration bucket (VERDICT r3 #3: sustained rate per
+        schedule phase — densify ramp, post-densify, regularized tail)."""
+        out = {}
+        for b in range(0, args.iters, 1000):
+            seg = [s for s in stamps if b <= s[0] < b + 1000]
+            if len(seg) >= 2:
+                out[f"{b}-{b + 1000}"] = round(
+                    (seg[-1][0] - seg[0][0]) / (seg[-1][1] - seg[0][1]), 3)
+        return out
+
     def flush_report():
+        report["it_per_s_by_1k"] = phase_rates()
+        report["xla_compiles"] = compiles.total
+        report["xla_compile_wall_s"] = round(compiles.total_s, 1)
         with open(args.report, "w") as f:
             json.dump(report, f, indent=2)
 
@@ -205,13 +236,36 @@ def main():
         if m is not None:
             stamps.append((it, time.perf_counter()))
             print(f"[{it}] psnr {m['psnr']:.2f} loss {m['loss']:.4f} "
-                  f"inst {m['n_instances']:.0f}", flush=True)
+                  f"inst {m['n_instances']:.0f} pts {m['n_active']}",
+                  flush=True)
+            if m["n_overflow"] > 0 or m["tile_overflow"] > 0:
+                health["overflow_events"] += 1
+                health["overflow_instances"] += float(m["n_overflow"])
+            if not np.isfinite(m["loss"]):
+                health["nan_events"] += 1
+            if it % 500 == 0:
+                flush_report()
         if it in eval_at:
             eval_test(ts, it)
+            if args.checkpoint:
+                from radegs_tpu.utils.checkpoint import save_checkpoint
+                save_checkpoint(args.checkpoint, ts, it)
+                print(f"[ckpt] saved at {it}", flush=True)
+
+    resume_state = None
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        from radegs_tpu.train.loop import init_train_state
+        from radegs_tpu.utils.checkpoint import load_checkpoint
+
+        template = init_train_state(state, jax.random.PRNGKey(0))
+        resume_state, start_it = load_checkpoint(args.checkpoint, template)
+        print(f"resumed from {args.checkpoint} at iteration {start_it}",
+              flush=True)
 
     t0 = time.perf_counter()
     ts, history = train(SceneLike(cameras=train_views, extent=4.5), state,
-                        mcfg, ocfg, pcfg, log_every=100, callbacks=[on_it])
+                        mcfg, ocfg, pcfg, log_every=100, callbacks=[on_it],
+                        resume_state=resume_state)
     t_train = time.perf_counter() - t0
 
     tail = [s for s in stamps if s[0] >= args.iters * 3 // 4]
@@ -225,7 +279,14 @@ def main():
         "resolution": [W, H],
         "train_wall_s": t_train,
         "sustained_it_per_s": sustained,
+        "it_per_s_by_1k": phase_rates(),
         "n_active_final": int(ts.gaussians.n_active()),
+        "capacity_final": ts.gaussians.capacity,
+        "health": health,
+        "xla_compiles": compiles.total,
+        "xla_compile_wall_s": round(compiles.total_s, 1),
+        "xla_compiles_by_name": {k: v for k, v in compiles.by_name.items()
+                                 if v > 1 or "train" in k or "densify" in k},
         "eval": eval_log,
     }
 

@@ -47,33 +47,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-class CompileCounter(logging.Handler):
-    """Counts 'Finished XLA compilation of <name> in <t> sec' records."""
-
-    PAT = re.compile(r"Finished XLA compilation of (.+) in ([0-9.]+) sec")
-
-    def __init__(self):
-        super().__init__(level=logging.WARNING)
-        self.by_name: dict[str, int] = {}
-        self.total_s = 0.0
-
-    def emit(self, record):
-        m = self.PAT.search(record.getMessage())
-        if m:
-            self.by_name[m.group(1)] = self.by_name.get(m.group(1), 0) + 1
-            self.total_s += float(m.group(2))
-
-    def count(self, substr: str) -> int:
-        return sum(v for k, v in self.by_name.items() if substr in k)
-
-    def install(self):
-        jax.config.update("jax_log_compiles", True)
-        # both emitters, and stop the WARNING-level spam from propagating
-        for name in ("jax._src.dispatch", "jax._src.interpreters.pxla"):
-            lg = logging.getLogger(name)
-            lg.addHandler(self)
-            lg.setLevel(logging.WARNING)
-            lg.propagate = False
+from radegs_tpu.utils.compilelog import CompileCounter  # noqa: E402
 
 
 def cloud_chamfer(a: np.ndarray, b: np.ndarray, n_sample: int = 200_000):
