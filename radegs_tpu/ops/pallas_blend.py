@@ -591,6 +591,7 @@ def _bwd_kernel(
     # scratch
     fbuf, subbuf, stage, flbuf, fsems, flsems, fill_smem,
     *, chunk: int, tiles_x: int, tile: int, width: int, height: int,
+    orient: str = "mn",
 ):
     t = pl.program_id(0)
     start = start_ref[t]
@@ -651,25 +652,29 @@ def _bwd_kernel(
     sub_j = jax.lax.broadcasted_iota(jnp.int32, (SUBK, RING), 0)
     ring_r = jax.lax.broadcasted_iota(jnp.int32, (SUBK, RING), 1)
 
-    def stage_put(gmat, lo, nreal, fill):
-        """Place gmat rows [lo, lo+nreal) at ring lanes [fill%RING, ...)."""
+    def stage_put(gmat_t, lo, nreal, fill):
+        """Place gmat_t columns [lo, lo+nreal) at ring lanes [fill%RING, ...).
+
+        ``gmat_t`` is (N_GRAD_PAD, SUBK): gradient channels on sublanes,
+        contributors on lanes (the "nm" orientation produces it directly;
+        "mn" transposes at the call site)."""
         fill_mod = jax.lax.rem(fill, RING)
         written = jax.lax.rem(ring_lane - fill_mod + RING, RING) < nreal
         if _RING_IMPL == "roll":
-            # lane ROTATION: source lane j (gmat row j) lands on ring lane
-            # (j + shift) mod RING with shift = fill_mod - lo, so rows
-            # [lo, lo+nreal) hit exactly the ``written`` lanes; all other
-            # source lanes (rows outside the real range + the zero pad)
-            # land outside ``written`` and are discarded by the select.
+            # lane ROTATION: source lane j (gmat_t column j) lands on ring
+            # lane (j + shift) mod RING with shift = fill_mod - lo, so
+            # columns [lo, lo+nreal) hit exactly the ``written`` lanes; all
+            # other source lanes (rows outside the real range + the zero
+            # pad) land outside ``written`` and are discarded by the select.
             # Replaces a 6-pass one-hot MXU matmul with one vector rotate.
             padded = jnp.concatenate(
-                [gmat.T, jnp.zeros((N_GRAD_PAD, RING - SUBK), jnp.float32)],
+                [gmat_t, jnp.zeros((N_GRAD_PAD, RING - SUBK), jnp.float32)],
                 axis=1,
             )  # (32, RING)
             shift = jax.lax.rem(fill_mod - lo + RING, RING)
             add = pltpu.roll(padded, shift, 1)
         else:
-            # placement one-hot: lane r takes gmat row j iff
+            # placement one-hot: lane r takes gmat_t column j iff
             # (r - fill_mod) mod RING == j - lo and lo <= j < lo + nreal.
             # HIGHEST: the f32 gradient VALUES must survive the matmul
             # (DEFAULT would round them to bf16; the one-hot side is exact
@@ -679,7 +684,7 @@ def _bwd_kernel(
                 (rel == sub_j - lo) & (sub_j >= lo) & (sub_j < lo + nreal), 1.0, 0.0
             )  # (SUBK, RING)
             add = jax.lax.dot_general(
-                gmat.T, sp, (((1,), (0,)), ((), ())),
+                gmat_t, sp, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # (32, RING)
@@ -719,10 +724,16 @@ def _bwd_kernel(
     init = dict(t_cur=jnp.ones((1, px), f32), done=zrow(), pre_dot=zrow())
 
     # per-pixel cotangent bank for the MXU reduction (see body): the 25
-    # per-contributor sums become one (14*CH, px) @ (px, 16) matmul
-    vbank = jnp.concatenate(
+    # per-contributor sums become one matmul against these 16 columns.
+    # orient="mn": (14*SUBK, px) @ (px, 16) — N pads 16 -> 128 lanes, so the
+    # MXU streams 14*SUBK rows at 1/8 lane utilization. orient="nm" flips
+    # it: (16, px) @ (px, 14*SUBK) — 16 rows stream against fully-used
+    # 448-lane tiles (~7x fewer row passes) and the result lands directly
+    # in the (channels, contributors) orientation the compaction ring wants.
+    vbank_rows = jnp.concatenate(
         gc + gn + gx + gmx + [gd, gmt, jnp.ones((1, px), f32), zrow()], axis=0
-    ).T  # (px, 16)
+    )  # (16, px)
+    vbank = vbank_rows.T if orient == "mn" else vbank_rows
     GC0, GN0, GX0, GMX0, GD, GMT, ONE = 0, 3, 6, 9, 12, 13, 14
 
     # per-pixel bank for the dL/dw matmul (constant across chunks): row k of
@@ -738,9 +749,14 @@ def _bwd_kernel(
     )  # (19, px) — row order matches the kernels' affine-first basis
 
     # a sub-block skipped entirely (no real rows) emits zero grads + gid -1
-    skip_gmat = jnp.concatenate(
-        [jnp.zeros((SUBK, N_GRAD), f32), jnp.full((SUBK, 1), -1.0, f32),
-         jnp.zeros((SUBK, N_GRAD_PAD - N_GRAD - 1), f32)], axis=1)
+    if orient == "mn":
+        skip_gmat = jnp.concatenate(
+            [jnp.zeros((SUBK, N_GRAD), f32), jnp.full((SUBK, 1), -1.0, f32),
+             jnp.zeros((SUBK, N_GRAD_PAD - N_GRAD - 1), f32)], axis=1)
+    else:
+        _grow = jax.lax.broadcasted_iota(jnp.int32, (N_GRAD_PAD, SUBK), 0)
+        skip_gmat = jnp.where(_grow == N_GRAD, -1.0, 0.0)
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, SUBK), 1)
 
     def sub_step(f_sub, row0, acc):
         ft = f_sub.T  # (SUBK, 32)
@@ -826,24 +842,40 @@ def _bwd_kernel(
             ],
             axis=0,
         )  # (14*SUBK, px)
-        # (14*SUBK, px) @ (px, 16). DEFAULT precision deliberately: operands
-        # round to bf16 but ACCUMULATION stays f32, so each 256-px gradient
-        # sum carries ~0.03% relative error (0.4%/sqrt(256)) — far below
-        # gradient noise — while HIGHEST would 6x the dominant MXU cost of
-        # the backward (the 16-wide N pads to 128, so this matmul is already
-        # 8x under-utilized).
-        R = _mm(M, vbank, precision=jax.lax.Precision.DEFAULT)
+        # DEFAULT precision deliberately: operands round to bf16 but
+        # ACCUMULATION stays f32, so each 256-px gradient sum carries
+        # ~0.03% relative error (0.4%/sqrt(256)) — far below gradient
+        # noise — while HIGHEST would 6x the dominant MXU cost.
+        if orient == "mn":
+            # (14*SUBK, px) @ (px, 16): N pads 16 -> 128 (1/8 utilized)
+            R = _mm(M, vbank, precision=jax.lax.Precision.DEFAULT)
 
-        def r(b, c):
-            return R[b * SUBK : (b + 1) * SUBK, c : c + 1]  # (SUBK, 1)
+            def r(b, c):
+                return R[b * SUBK : (b + 1) * SUBK, c : c + 1]  # (SUBK, 1)
+
+            sc = col  # per-contributor scalars as (SUBK, 1) columns
+        else:
+            # (16, px) contracted with (14*SUBK, px) on px: full-width
+            # 448-lane result tiles, 16 streamed rows, and R already sits
+            # in the (channel, contributor) orientation of the ring
+            R = jax.lax.dot_general(
+                vbank, M, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (16, 14*SUBK)
+
+            def r(b, c):
+                return R[c : c + 1, b * SUBK : (b + 1) * SUBK]  # (1, SUBK)
+
+            sc = frow  # per-contributor scalars as (1, SUBK) rows
 
         out_t = r(0, GD) + r(3, GMT)  # red(dL_dt)
         out_coord = [r(0, GX0 + k) + r(3, GMX0 + k) for k in range(3)]
-        out_dx = r(6, ONE) + col(10) * out_t
-        out_dy = r(7, ONE) + col(11) * out_t
+        out_dx = r(6, ONE) + sc(10) * out_t
+        out_dy = r(7, ONE) + sc(11) * out_t
         for k in range(3):
-            out_dx = out_dx + col(15 + k) * out_coord[k]
-            out_dy = out_dy + col(18 + k) * out_coord[k]
+            out_dx = out_dx + sc(15 + k) * out_coord[k]
+            out_dy = out_dy + sc(18 + k) * out_coord[k]
 
         cols = [
             out_dx, out_dy,
@@ -860,13 +892,21 @@ def _bwd_kernel(
             r(0, GN0), r(0, GN0 + 1), r(0, GN0 + 2),
             out_t,
         ]
-        gmat = jnp.concatenate(cols, axis=1)  # (SUBK, 25)
-        # row 25: the gaussian id (streamed through the feature pack) for
-        # the instance->gaussian reduction; -1 for masked window rows
-        gid_col = jnp.where(in_range, col(24), -1.0)
-        gmat = jnp.concatenate(
-            [gmat, gid_col, jnp.zeros((SUBK, N_GRAD_PAD - N_GRAD - 1), f32)], axis=1
-        )
+        # row/col 25: the gaussian id (streamed through the feature pack)
+        # for the instance->gaussian reduction; -1 for masked window rows
+        if orient == "mn":
+            gmat = jnp.concatenate(cols, axis=1)  # (SUBK, 25)
+            gid_col = jnp.where(in_range, col(24), -1.0)
+            gmat = jnp.concatenate(
+                [gmat, gid_col,
+                 jnp.zeros((SUBK, N_GRAD_PAD - N_GRAD - 1), f32)], axis=1)
+        else:
+            in_range_row = (row0 + lane_s >= head) & (row0 + lane_s < count_w)
+            gid_row = jnp.where(in_range_row, frow(24), -1.0)
+            gmat = jnp.concatenate(
+                cols + [gid_row,
+                        jnp.zeros((N_GRAD_PAD - N_GRAD - 1, SUBK), f32)],
+                axis=0)  # (N_GRAD_PAD, SUBK)
 
         # carries: the first terminator's t_prefix IS the new T (it excludes
         # itself and everything after), so no second masked cumprod is needed
@@ -914,7 +954,7 @@ def _bwd_kernel(
             @pl.when(nreal > 0)
             def _(gmat=gmat, lo=lo, nreal=nreal):
                 fill = fill_smem[0]
-                stage_put(gmat, lo, nreal, fill)
+                stage_put(gmat.T if orient == "mn" else gmat, lo, nreal, fill)
                 new_fill = fill + nreal
 
                 @pl.when(new_fill // CH > fill // CH)
@@ -1004,14 +1044,15 @@ def _reduce_grad_rows(grad_inst, total, P, seg_rows: int | None = None):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile", "chunk",
-                                             "interpret", "reduce", "reduce_impl"))
+                                             "interpret", "reduce", "reduce_impl",
+                                             "orient"))
 def blend_backward_pallas(
     binning: TileBinning,
     inputs,
     fwd_out,
     cot,
     *, width: int, height: int, tile: int = 16, chunk: int = 128, interpret: bool = False,
-    reduce: bool = True, reduce_impl: str = "auto",
+    reduce: bool = True, reduce_impl: str = "auto", orient: str | None = None,
 ):
     """Backward blend via the Pallas kernel: per-tile back-walk emitting
     per-instance gradients, reduced to per-Gaussian deterministically
@@ -1024,8 +1065,17 @@ def blend_backward_pallas(
 
     ``reduce=False`` returns the raw per-instance gradient block
     {"raw": (N_GRAD_PAD, B_out)} instead — benchmarking hook that isolates
-    the kernel from the transpose + segment reduction."""
+    the kernel from the transpose + segment reduction.
+
+    ``orient``: orientation of the in-kernel 25-way pixel reduction —
+    "mn" = (14*SUBK, px) @ (px, 16) (N pads 16 -> 128 lanes), "nm" = the
+    transposed (16, px) x (14*SUBK, px) contraction (full 448-lane result
+    tiles, ~7x fewer MXU row passes, ring-ready orientation). Bit-identical
+    math; None = $RADEGS_BWD_ORIENT or "mn" until the device A/B lands."""
     _check_sub(chunk)
+    if orient is None:
+        orient = _os.environ.get("RADEGS_BWD_ORIENT", "mn")
+    assert orient in ("mn", "nm"), orient
     xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts = inputs
     P = xy.shape[0]
     B = binning.gauss_id.shape[0]
@@ -1089,7 +1139,7 @@ def blend_backward_pallas(
     grad_inst = pl.pallas_call(
         functools.partial(
             _bwd_kernel, chunk=chunk, tiles_x=tiles_x, tile=tile,
-            width=width, height=height,
+            width=width, height=height, orient=orient,
         ),
         out_shape=jax.ShapeDtypeStruct((N_GRAD_PAD, B_out), jnp.float32),
         grid_spec=grid_spec,

@@ -37,7 +37,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# 8 virtual devices TIME-SHARE one physical core here, so at million-splat
+# scale the per-shard compute between collectives can exceed XLA:CPU's
+# default 20s/40s rendezvous warn/terminate timeouts (the sharded step then
+# dies with "Termination timeout for all reduce ... exceeded"). Raise them —
+# this is a host-simulation artifact, not a deadlock.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+)
 
 import jax  # noqa: E402
 

@@ -94,6 +94,37 @@ def test_gof_abs_grad_side_channel_parity(scene):
     assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 1e-5
 
 
+def test_backward_orient_nm_matches_mn(scene):
+    """The transposed in-kernel reduction orientation ("nm": (16, px)
+    contracted with (14*SUBK, px) for full-lane MXU tiles) must reproduce
+    the default "mn" per-instance gradients bit-for-bit in interpret mode
+    (same math, same f32 accumulation order per dot element)."""
+    from radegs_tpu.ops.pallas_blend import (blend_backward_pallas,
+                                             blend_forward_pallas)
+
+    cam, prep = scene
+    binning = bin_gaussians(prep.xy, prep.radius, prep.depth, prep.valid,
+                            64, 48, instance_budget=1 << 11, max_per_tile=128)
+    inputs = (prep.xy, prep.conic, prep.opacity, prep.rgb, prep.view_point,
+              prep.camera_plane, prep.ray_plane, prep.normal, prep.ts)
+    fwd = blend_forward_pallas(binning, *inputs, width=64, height=48,
+                               chunk=16, interpret=True)
+    rng = np.random.default_rng(5)
+    cot = {k: (None if k == "med_pos"
+               else jnp.asarray(rng.normal(size=v.shape), jnp.float32))
+           for k, v in fwd.items()}
+    g_mn = blend_backward_pallas(binning, inputs, fwd, cot, width=64,
+                                 height=48, chunk=16, interpret=True,
+                                 orient="mn")
+    g_nm = blend_backward_pallas(binning, inputs, fwd, cot, width=64,
+                                 height=48, chunk=16, interpret=True,
+                                 orient="nm")
+    for k in g_mn:
+        a, b = np.asarray(g_mn[k]), np.asarray(g_nm[k])
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+        assert rel < 1e-6, (k, rel)
+
+
 def test_segmented_grad_reduction_matches_monolithic():
     """_reduce_grad_rows: the lax.cond row segmentation (budget >> real
     rows) must be exactly the plain scatter-add."""
