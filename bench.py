@@ -357,6 +357,11 @@ def _run_scene(argv, inner_timeout):
                 if line.startswith("#"):
                     print(line, flush=True)
                 elif line.startswith("{") and '"metric"' in line:
+                    # surface the per-scene record IMMEDIATELY (as a comment
+                    # line): if a later scene wedges and the whole process is
+                    # killed by an outer timeout, this measurement survives
+                    # in the log instead of dying in parent memory
+                    print(f"# scene-result: {line}", flush=True)
                     return json.loads(line), last_err
             last_err = "child printed no parseable JSON line"
             return None, last_err

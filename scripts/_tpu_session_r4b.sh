@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-4 follow-up TPU session — run AFTER scripts/_tpu_session_r3.sh
+# completes (strictly sequential TPU use, CLAUDE.md).
+#
+#   bash scripts/_tpu_session_r4b.sh <quality_timeout_s> > log 2>&1
+#
+# 1. A/B the backward-kernel reduction orientation (RADEGS_BWD_ORIENT)
+# 2. decimation quality sweep at scale (VERDICT r3 #4)
+# 3. long full-schedule quality run with per-eval checkpoints
+#    (VERDICT r3 #3) — sized by the remaining round time; resumable.
+set -u
+cd "$(dirname "$0")/.."
+QTIME=${1:-14400}
+
+stamp() { echo "=== $1 $(date +%T) ==="; }
+
+stamp probe
+timeout 200 python -c "import jax, jax.numpy as jnp; x = jnp.ones((128,128)) @ jnp.ones((128,128)); print('PROBE_OK', float(x[0,0]), jax.devices()[0].platform)" || { echo PROBE_FAILED; exit 1; }
+
+stamp "headline re-measure (mn) — insurance if the r3 session's merged line was lost"
+timeout 2700 python bench.py --scene 100k --no-parity || echo HEADLINE_MN_FAILED
+
+stamp "bwd orient A/B: nm"
+timeout 2700 env RADEGS_BWD_ORIENT=nm python bench.py --scene 100k --no-parity || echo ORIENT_NM_FAILED
+
+stamp "dense --auto retry (one more attempt at the r3 session's lost scene)"
+timeout 6000 python bench.py --scene dense --auto --no-parity || echo DENSE_RETRY_FAILED
+timeout 600 python scripts/_kernel_smoke.py || echo KERNEL_SMOKE_MN_FAILED
+timeout 900 env RADEGS_BWD_ORIENT=nm python scripts/_kernel_smoke.py || echo KERNEL_SMOKE_NM_FAILED
+
+stamp "binning internal stage micro (rects/expand/cull/sort/ranges)"
+timeout 1800 python scripts/_micro_binning.py || echo MICRO_BINNING_FAILED
+
+stamp "decimation sweep (300k splats, 1600x1200, 6 views)"
+timeout 7200 python scripts/decimation_sweep.py --n_points 300000 \
+  --width 1600 --height 1200 --n_views 6 --report DECIM_SWEEP_R4.json \
+  || echo DECIM_SWEEP_FAILED
+
+stamp "long quality run (checkpointed, timeout ${QTIME}s)"
+timeout "$QTIME" python scripts/quality_dense.py --iters 30000 \
+  --eval_iters 1000 3000 7000 15000 30000 \
+  --checkpoint /root/repo/ckpt_q30k --report QUALITY_30K_r04.json \
+  || echo "QUALITY_30K timed out/failed (checkpoint at ckpt_q30k resumes it)"
+
+stamp done
