@@ -1156,8 +1156,13 @@ def blend_backward_pallas(
     total = ((total_rows + chunk - 1) // chunk) * chunk
     if reduce_impl == "auto":
         # the sort+MXU path amortizes only at scale: below ~2M instance
-        # slots the scatter's ~18 ms/Mrow into a small table already wins
-        reduce_impl = "mxu" if B_out > (1 << 21) else "scatter"
+        # slots the scatter's ~18 ms/Mrow into a small table already wins.
+        # $RADEGS_REDUCE_IMPL overrides (isolation knob: the mxu path only
+        # ever activates at dense scale, so a dense-only hang can be pinned
+        # on or off it without a code change)
+        reduce_impl = _os.environ.get(
+            "RADEGS_REDUCE_IMPL",
+            "mxu" if B_out > (1 << 21) else "scatter")
     if reduce_impl == "mxu":
         from radegs_tpu.ops.segsum import reduce_grad_rows_mxu
 

@@ -23,7 +23,29 @@ timeout 2700 python bench.py --scene 100k --no-parity || echo HEADLINE_MN_FAILED
 stamp "bwd orient A/B: nm"
 timeout 2700 env RADEGS_BWD_ORIENT=nm python bench.py --scene 100k --no-parity || echo ORIENT_NM_FAILED
 
-stamp "dense --auto retry (one more attempt at the r3 session's lost scene)"
+stamp "segsum-at-scale probe (the dense-only suspect: reduce_grad_rows_mxu has never run on hardware)"
+timeout 1200 python - <<'EOF' || echo SEGSUM_SCALE_FAILED
+import time
+import jax, jax.numpy as jnp, numpy as np
+from radegs_tpu.ops.pallas_blend import N_GRAD, N_GRAD_PAD
+from radegs_tpu.ops.segsum import reduce_grad_rows_mxu
+B, P = 1 << 22, 1 << 21
+rng = np.random.default_rng(0)
+g = jnp.asarray(rng.normal(size=(N_GRAD_PAD, B)).astype(np.float32))
+gid = jnp.asarray(np.sort(rng.integers(0, P, B)).astype(np.float32))
+g = g.at[N_GRAD].set(gid)
+t0 = time.time()
+out = jax.block_until_ready(reduce_grad_rows_mxu(g, jnp.int32(B - 1000), P))
+print("SEGSUM_SCALE_OK", out.shape, f"{time.time()-t0:.1f}s total (incl compile)")
+t0 = time.time()
+out = jax.block_until_ready(reduce_grad_rows_mxu(g, jnp.int32(B - 1000), P))
+print("steady:", f"{(time.time()-t0)*1000:.0f} ms")
+EOF
+
+stamp "dense --auto retry, scatter reduction (isolates the mxu segsum path)"
+timeout 6000 env RADEGS_REDUCE_IMPL=scatter python bench.py --scene dense --auto --no-parity || echo DENSE_SCATTER_FAILED
+
+stamp "dense --auto retry (auto = mxu segsum path)"
 timeout 6000 python bench.py --scene dense --auto --no-parity || echo DENSE_RETRY_FAILED
 timeout 600 python scripts/_kernel_smoke.py || echo KERNEL_SMOKE_MN_FAILED
 timeout 900 env RADEGS_BWD_ORIENT=nm python scripts/_kernel_smoke.py || echo KERNEL_SMOKE_NM_FAILED
