@@ -1155,14 +1155,14 @@ def blend_backward_pallas(
     total_rows = jnp.sum(binning.tile_count)
     total = ((total_rows + chunk - 1) // chunk) * chunk
     if reduce_impl == "auto":
-        # the sort+MXU path amortizes only at scale: below ~2M instance
-        # slots the scatter's ~18 ms/Mrow into a small table already wins.
-        # $RADEGS_REDUCE_IMPL overrides (isolation knob: the mxu path only
-        # ever activates at dense scale, so a dense-only hang can be pinned
-        # on or off it without a code change)
-        reduce_impl = _os.environ.get(
-            "RADEGS_REDUCE_IMPL",
-            "mxu" if B_out > (1 << 21) else "scatter")
+        # 2026-08-19 device finding: reduce_grad_rows_mxu HANGS the remote
+        # TPU compile at dense scale (the 100k breakdown died in
+        # '+bwd red(mxu)'; dense bench died once auto crossed the 2M
+        # threshold), while the 26-payload variadic sort it builds on is
+        # sub-ms at 16M rows. Until the Mosaic hang is pinned and fixed,
+        # auto = scatter everywhere; $RADEGS_REDUCE_IMPL=mxu re-arms the
+        # sort+MXU segment-sum path for isolation probes.
+        reduce_impl = _os.environ.get("RADEGS_REDUCE_IMPL", "scatter")
     if reduce_impl == "mxu":
         from radegs_tpu.ops.segsum import reduce_grad_rows_mxu
 

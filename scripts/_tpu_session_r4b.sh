@@ -23,20 +23,40 @@ timeout 2700 python bench.py --scene 100k --no-parity || echo HEADLINE_MN_FAILED
 stamp "bwd orient A/B: nm"
 timeout 2700 env RADEGS_BWD_ORIENT=nm python bench.py --scene 100k --no-parity || echo ORIENT_NM_FAILED
 
-stamp "segsum-at-scale probe (the dense-only suspect: reduce_grad_rows_mxu has never run on hardware)"
-timeout 1200 python - <<'EOF' || echo SEGSUM_SCALE_FAILED
+stamp "segsum diagnosis (the hang: breakdown 100k died in '+bwd red(mxu)', dense bench died in auto->mxu)"
+timeout 600 python - <<'EOF' || echo SEGSUM_SORT26_FAILED
+# (a) the 26-operand variadic sort alone
+import time
+import jax, jax.numpy as jnp, numpy as np
+from radegs_tpu.ops.pallas_blend import N_GRAD
+B = 1 << 20
+rng = np.random.default_rng(0)
+key = jnp.asarray(rng.integers(0, 1 << 20, B).astype(np.int32))
+ops = (key,) + tuple(jnp.asarray(rng.normal(size=B).astype(np.float32))
+                     for _ in range(N_GRAD))
+t0 = time.time()
+out = jax.block_until_ready(jax.jit(
+    lambda o: jax.lax.sort(o, num_keys=1, is_stable=False))(ops))
+print("SORT26_OK", f"{time.time()-t0:.1f}s incl compile")
+t0 = time.time()
+out = jax.block_until_ready(jax.jit(
+    lambda o: jax.lax.sort(o, num_keys=1, is_stable=False))(ops))
+print("steady:", f"{(time.time()-t0)*1000:.0f} ms")
+EOF
+timeout 900 python - <<'EOF' || echo SEGSUM_KERNEL_FAILED
+# (b) the full reduce_grad_rows_mxu (sort + searchsorted + Pallas kernel)
 import time
 import jax, jax.numpy as jnp, numpy as np
 from radegs_tpu.ops.pallas_blend import N_GRAD, N_GRAD_PAD
 from radegs_tpu.ops.segsum import reduce_grad_rows_mxu
-B, P = 1 << 22, 1 << 21
+B, P = 1 << 20, 1 << 17
 rng = np.random.default_rng(0)
 g = jnp.asarray(rng.normal(size=(N_GRAD_PAD, B)).astype(np.float32))
 gid = jnp.asarray(np.sort(rng.integers(0, P, B)).astype(np.float32))
 g = g.at[N_GRAD].set(gid)
 t0 = time.time()
 out = jax.block_until_ready(reduce_grad_rows_mxu(g, jnp.int32(B - 1000), P))
-print("SEGSUM_SCALE_OK", out.shape, f"{time.time()-t0:.1f}s total (incl compile)")
+print("SEGSUM_OK", out.shape, f"{time.time()-t0:.1f}s incl compile")
 t0 = time.time()
 out = jax.block_until_ready(reduce_grad_rows_mxu(g, jnp.int32(B - 1000), P))
 print("steady:", f"{(time.time()-t0)*1000:.0f} ms")
