@@ -46,6 +46,7 @@ beyond K (``tile_overflow``).
 
 from __future__ import annotations
 
+import os as _os
 from typing import Any, NamedTuple
 
 import jax
@@ -72,6 +73,10 @@ class TileBinning(NamedTuple):
     # unless need_sorted_orig (it would ride the sort as a 3rd column)
     expand_offsets: Any  # (P,) int32 expand-run start per DEPTH-ORDERED gaussian (<= B)
     n_culled: Any  # () int32 — instances removed by the exact tile test
+    # fused feature pack (None unless ``features`` was passed): the (32, Bs)
+    # blend-kernel input that rode the tile sort as payload columns —
+    # replaces the post-sort random-id gather of pallas_blend.sorted_features
+    feat_pack: Any = None
 
 
 def tile_grid(width: int, height: int, tile: int = TILE):
@@ -126,6 +131,31 @@ def _q_min_over_rect(cx, cy, a, b, c, x0, x1, y0, y1):
     return jnp.where(inside, 0.0, qmin)
 
 
+def _owner_merge(starts, B: int):
+    """slot -> covering-run index via a MERGE of run starts into slot
+    positions, built from two stable sorts + a cumsum — replacing the
+    scatter-of-ones + cumsum trick whose scatter cost scales with the
+    B-sized target table (~150-200 ms/Mrow at multi-M budgets) while
+    lax.sort stays sub-ms at 16M rows (BENCH_NOTES round-4).
+
+    ``starts``: (P,) int32, nondecreasing, B for runs owning no slots.
+    Returns (B,) int32: index of the last run with start <= slot (-1 if
+    none, i.e. no alive runs)."""
+    P = starts.shape[0]
+    # parity tags merge order: a run start sorts BEFORE the slot at the
+    # same position (key 2s < 2s+1), so the cumsum counts it as covering
+    key = jnp.concatenate(
+        [starts * 2, jnp.arange(B, dtype=jnp.int32) * 2 + 1])
+    tag = jnp.concatenate(
+        [jnp.ones((P,), jnp.int32), jnp.zeros((B,), jnp.int32)])
+    _, tag_s = jax.lax.sort((key, tag), num_keys=1, is_stable=True)
+    own = jnp.cumsum(tag_s) - 1  # runs started at or before each merged row
+    # compact the slot rows back out: stable sort by tag puts the B slot
+    # rows first, preserving their (already slot-index) relative order
+    _, own_slots = jax.lax.sort((tag_s, own), num_keys=1, is_stable=True)
+    return own_slots[:B]
+
+
 def bin_gaussians(
     xy,
     radius,
@@ -141,6 +171,7 @@ def bin_gaussians(
     need_tile_gauss: bool = True,
     seg_rows: int = 1 << 21,
     need_sorted_orig: bool = False,
+    features=None,
 ) -> TileBinning:
     """Build the tile work lists. All shapes static; jit/vmap/shard-friendly.
 
@@ -154,6 +185,14 @@ def bin_gaussians(
         the tile, which the blend kernels skip anyway.
       need_tile_gauss: build the rectangular (T, K) layout (XLA-scan path);
         the Pallas path reads the flat layout only.
+      features: optional (P, 24) per-gaussian blend-feature rows (the
+        pallas_blend.FEAT_LAYOUT column order). When given (requires
+        conic+opacity), the features ride the slot expansion (one monotone
+        gather) and the tile sort (payload columns are ~free —
+        1-key+26-payload lax.sort measured 0.54 ms at 8M rows) and the
+        result carries ``feat_pack``, the ready (32, Bs) kernel input —
+        eliminating the post-sort random-id feature gather that cost
+        ~320 ms at dense scale (BENCH_NOTES round-4).
     """
     P = xy.shape[0]
     tiles_x, tiles_y = tile_grid(width, height, tile)
@@ -169,6 +208,9 @@ def bin_gaussians(
         )
 
     precise = conic is not None and opacity is not None
+    if features is not None and not precise:
+        raise ValueError("features riding requires conic+opacity (the cull "
+                         "reads xy/conic straight from the feature columns)")
     if precise:
         op = opacity[:, 0] if opacity.ndim == 2 else opacity
         tau = 2.0 * jnp.log(jnp.maximum(op, 1e-12) / ALPHA_EPS)
@@ -200,11 +242,15 @@ def bin_gaussians(
     total = offsets_p[-1] + touched_p[-1]
     n_overflow = jnp.maximum(total - B, 0)
 
-    # --- expand runs: slot -> owning gaussian (scatter + cumsum trick) ---
-    starts = jnp.where(alive_p & (offsets_p < B), offsets_p, B)
-    ones = jnp.zeros((B + 1,), jnp.int32).at[starts].add(1)
-    owner_count = jnp.cumsum(ones[:-1])  # (B,) = #runs started at or before slot
-    owner = owner_count - 1  # index into "alive runs in depth order"
+    # --- expand runs: slot -> owning gaussian ---
+    starts = jnp.where(alive_p & (offsets_p < B), offsets_p, B).astype(jnp.int32)
+    if _os.environ.get("RADEGS_BIN_OWNER", "merge") == "merge":
+        owner = _owner_merge(starts, B)
+    else:
+        # legacy scatter + cumsum (kept for device A/B: the scatter's cost
+        # scales with the B-sized target table)
+        ones = jnp.zeros((B + 1,), jnp.int32).at[starts].add(1)
+        owner = jnp.cumsum(ones[:-1]) - 1  # runs started at or before slot
     # owner indexes compacted runs; recover gaussian id via the same order:
     # runs are laid out in depth order, so the i-th alive position of perm.
     alive_pos = jnp.nonzero(alive_p, size=P, fill_value=P - 1)[0].astype(jnp.int32)
@@ -214,14 +260,25 @@ def bin_gaussians(
     # a ~20ms slow path each on TPU, a single (P,k) row gather is ~2-7ms.
     # Precise mode rides the SAME gather (its int columns are <= 2^24 — the
     # exact-integer limit of f32, asserted against instance_budget above)
-    # instead of paying a second B-row gather.
+    # instead of paying a second B-row gather. With ``features`` the same
+    # gather also carries the 24 blend-feature columns (cull reads xy/conic
+    # from them; only tau stays a dedicated column).
     int_cols = [ids, offsets_p[alive_pos], jnp.maximum(w[ids], 1),
                 rx_min[ids], ry_min[ids]]
     cols = [x.astype(jnp.float32) for x in int_cols]
-    if precise:
-        cols += [xy[ids, 0], xy[ids, 1], a[ids], b[ids],
-                 c[ids], tau[ids]]
-    packed = jnp.stack(cols, axis=1)  # (P, 5|11), rows in depth-run order
+    if features is not None:
+        cols += [tau[ids]]
+        packed = jnp.concatenate(
+            [jnp.stack(cols, axis=1), features[ids]], axis=1)  # (P, 30)
+        CULL = dict(cx=6, cy=7, a=8, b=9, c=10, tau=5)
+        n_feat = features.shape[1]
+    else:
+        if precise:
+            cols += [xy[ids, 0], xy[ids, 1], a[ids], b[ids],
+                     c[ids], tau[ids]]
+            CULL = dict(cx=5, cy=6, a=7, b=8, c=9, tau=10)
+        packed = jnp.stack(cols, axis=1)  # (P, 5|11), rows in depth-run order
+        n_feat = 0
 
     # --- segmented expansion: the per-slot gather + decode + exact cull run
     # per 2M-slot block under lax.cond, so blocks entirely past ``total``
@@ -236,7 +293,7 @@ def bin_gaussians(
 
         def live(_):
             sl_idx = jnp.arange(s0, s1, dtype=jnp.int32)
-            sp = packed[jnp.clip(owner[s0:s1], 0, P - 1)]  # (n, 5|11)
+            sp = packed[jnp.clip(owner[s0:s1], 0, P - 1)]  # (n, 5|11|30)
             sl = sp[:, :5].astype(jnp.int32)
             svalid = sl_idx < total_capped
             g = jnp.where(svalid, sl[:, 0], -1)
@@ -254,23 +311,31 @@ def bin_gaussians(
             nc = jnp.zeros((), jnp.int32)
             if precise:
                 # exact per-tile cull
-                sf = sp[:, 5:]
                 x0 = (tx * tile).astype(jnp.float32)
                 y0 = (ty * tile).astype(jnp.float32)
                 qmin = _q_min_over_rect(
-                    sf[:, 0], sf[:, 1], sf[:, 2], sf[:, 3], sf[:, 4],
+                    sp[:, CULL["cx"]], sp[:, CULL["cy"]], sp[:, CULL["a"]],
+                    sp[:, CULL["b"]], sp[:, CULL["c"]],
                     x0, x0 + (tile - 1), y0, y0 + (tile - 1),
                 )
                 # tiny slack so borderline alpha ~ 1/255 contributors never
                 # flip between binning (f32) and the blend's threshold test
-                keep = qmin <= sf[:, 5] * (1.0 + 1e-5) + 1e-6
+                keep = qmin <= sp[:, CULL["tau"]] * (1.0 + 1e-5) + 1e-6
                 nc = jnp.sum((svalid & ~keep).astype(jnp.int32))
                 t = jnp.where(keep, t, num_tiles)
-            return t, g, nc
+            if n_feat:
+                # padding slots (clipped owner) must not leak a real
+                # gaussian's features; culled slots keep theirs (they sort
+                # past every tile range and are never read)
+                f = jnp.where(svalid[:, None], sp[:, 6:], 0.0)
+            else:
+                f = jnp.zeros((n, 0), jnp.float32)
+            return t, g, f, nc
 
         def dead(_):
             return (jnp.full((n,), num_tiles, jnp.int32),
                     jnp.full((n,), -1, jnp.int32),
+                    jnp.zeros((n, n_feat), jnp.float32),
                     jnp.zeros((), jnp.int32))
 
         if s0 == 0:
@@ -280,53 +345,62 @@ def bin_gaussians(
     parts = [expand_seg(s0, min(s0 + seg_rows, B))
              for s0 in range(0, B, seg_rows)]
     if len(parts) == 1:
-        tid, gid, n_culled = parts[0]
+        tid, gid, feat, n_culled = parts[0]
     else:
         tid = jnp.concatenate([p[0] for p in parts])
         gid = jnp.concatenate([p[1] for p in parts])
-        n_culled = sum(p[2] for p in parts)
+        feat = jnp.concatenate([p[2] for p in parts])
+        n_culled = sum(p[3] for p in parts)
 
     # --- stable sort by tile with one SENTINEL entry per tile ---
     # (radix sort, rasterizer_impl.cu:376-381). Slots are generated in depth
     # order, so a STABLE single-key sort by tile id alone yields (tile,
     # depth) order. Sentinels are appended AFTER all real slots, so
     # stability also puts each sentinel after its tile's real instances and
-    # per-tile ranges fall out of the sorted order itself: a cumsum + ONE
-    # unique-index scatter (~3 ms at B=1M) instead of the duplicate-index
-    # histogram scatter-add (~9 ms) — identifyTileRanges re-imagined.
+    # per-tile ranges fall out of the sorted order itself.
     # Culled + padding slots carry tid=num_tiles and sort to the very end.
+    # The blend-feature columns (if any) ride the same sort as payloads —
+    # payload columns are nearly free (BENCH_NOTES round-4).
     T_sent = num_tiles
     tid_all = jnp.concatenate([tid, jnp.arange(T_sent, dtype=jnp.int32)])
     gid_all = jnp.concatenate([gid, jnp.full((T_sent,), -1, jnp.int32)])
+    operands = [tid_all, gid_all]
+    operands += [jnp.concatenate([feat[:, k], jnp.zeros((T_sent,), jnp.float32)])
+                 for k in range(n_feat)]
     if need_sorted_orig:
-        # diagnostics-only permutation column (no hot-path consumers) —
-        # carrying it through the sort costs a third of the sort's data
-        # movement, so it is opt-in
-        orig_all = jnp.concatenate(
+        # diagnostics-only permutation column (no hot-path consumers)
+        operands.append(jnp.concatenate(
             [jnp.arange(B, dtype=jnp.int32), jnp.full((T_sent,), -1, jnp.int32)]
-        )
-        tid_s, gid_s, orig_s = jax.lax.sort(
-            (tid_all, gid_all, orig_all), num_keys=1, is_stable=True
-        )
-    else:
-        tid_s, gid_s = jax.lax.sort(
-            (tid_all, gid_all), num_keys=1, is_stable=True
-        )
-        orig_s = None
+        ))
+    out_s = jax.lax.sort(tuple(operands), num_keys=1, is_stable=True)
+    tid_s, gid_s = out_s[0], out_s[1]
+    orig_s = out_s[-1] if need_sorted_orig else None
     Bs = B + T_sent
+    if n_feat:
+        # ready-to-DMA kernel pack: 24 feature rows + gid (row 24) + pad —
+        # the layout contract of pallas_blend.sorted_features
+        feat_pack = jnp.concatenate([
+            jnp.stack(out_s[2:2 + n_feat], axis=0),
+            gid_s.astype(jnp.float32)[None],
+            jnp.zeros((32 - n_feat - 1, Bs), jnp.float32)], axis=0)
+    else:
+        feat_pack = None
 
     # sentinel t sits at position s_pos[t]; real rows of tile t occupy
     # (s_pos[t-1], s_pos[t]) exclusive of both sentinels. Sentinels are
     # exactly the rows with gid < 0 AND a real tile id: real slots always
     # carry gid >= 0 (culled slots keep their gid but move to tid=num_tiles;
-    # padding slots have gid=-1 but also tid=num_tiles).
+    # padding slots have gid=-1 but also tid=num_tiles). Their positions
+    # come from a COMPACTION SORT (sentinels surface in tile order because
+    # the main sort left them tile-ordered and this sort is stable) — the
+    # scatter it replaces aimed every non-sentinel row at one dump slot,
+    # the catastrophic-serialization pattern (~2.3 s at 16M rows, CLAUDE.md).
     flag = (gid_s < 0) & (tid_s < num_tiles)
-    cumflag = jnp.cumsum(flag.astype(jnp.int32))  # inclusive
-    s_pos = (
-        jnp.zeros((T_sent + 1,), jnp.int32)
-        .at[jnp.where(flag, cumflag - 1, T_sent)]
-        .set(jnp.arange(Bs, dtype=jnp.int32))[:T_sent]
-    )
+    _, pos_s = jax.lax.sort(
+        (jnp.where(flag, 0, 1).astype(jnp.int32),
+         jnp.arange(Bs, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)
+    s_pos = pos_s[:T_sent]
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_pos[:-1]])
     tile_start = prev + 1
     tile_count_full = s_pos - prev - 1
@@ -367,6 +441,7 @@ def bin_gaussians(
         sorted_orig=orig_s,
         expand_offsets=jnp.minimum(jnp.where(alive_p, offsets_p, B), B).astype(jnp.int32),
         n_culled=n_culled,
+        feat_pack=feat_pack,
     )
 
 

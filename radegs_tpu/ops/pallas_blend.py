@@ -113,6 +113,30 @@ def _pad_lanes(x, chunk: int):
 PACK_SEG = int(_os0.environ.get("RADEGS_PACK_SEG", str(1 << 21)))
 
 
+def feature_rows(inputs):
+    """(P, 24) per-gaussian feature rows in FEAT_LAYOUT column order — the
+    table the pack gathers from, and the ``features`` argument of
+    binning.bin_gaussians when the pack rides the tile sort."""
+    xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts = inputs
+    op = opacity[:, 0] if opacity.ndim == 2 else opacity
+    return jnp.concatenate(
+        [
+            xy, conic, op[:, None], rgb, ts[:, None], ray_plane, view_point,
+            camera_plane[:, :, 0], camera_plane[:, :, 1], normal,
+        ],
+        axis=1,
+    )
+
+
+def packed_or_sorted_features(binning: TileBinning, inputs, seg_rows=None):
+    """The (32, Bs) kernel feature block: the pack that rode the binning
+    sort when available (binning.feat_pack), else the legacy post-sort
+    random-id gather."""
+    if binning.feat_pack is not None:
+        return binning.feat_pack
+    return sorted_features(binning, inputs, seg_rows=seg_rows)
+
+
 def sorted_features(binning: TileBinning, inputs, seg_rows: int | None = None):
     """(32, B) features of the depth-sorted instance list: (P,24) row
     gathers by gauss_id + transpose. (A lane-axis take along a (24, B) array
@@ -515,8 +539,9 @@ def blend_forward_pallas(
 
     inputs = (xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts)
     feat_sorted = _pad_lanes(
-        sorted_features(binning, inputs,
-                        seg_rows=PACK_SEG if binning.gauss_id.shape[0] > PACK_SEG else None),
+        packed_or_sorted_features(
+            binning, inputs,
+            seg_rows=PACK_SEG if binning.gauss_id.shape[0] > PACK_SEG else None),
         chunk)  # (32, B')
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1059,9 +1084,13 @@ def blend_backward_pallas(
     (replaces backward.cu:631-1016 + atomicAdd).
 
     ``reduce_impl``: "scatter" = segmented XLA row scatter-add
-    (_reduce_grad_rows); "mxu" = sort + one-hot MXU matmul segment-sum
-    (ops/segsum.py — wins at multi-M instance counts where scatter cost
-    scales with the target table size); "auto" picks by budget size.
+    (_reduce_grad_rows); "scan" = sort + segmented shift-add scan
+    (segsum.reduce_grad_rows_scan — scatter-free, B-proportional; the
+    default at multi-M budgets where scatter cost scales with the P-sized
+    target table); "mxu" = sort + one-hot MXU matmul segment-sum
+    (segsum.reduce_grad_rows_mxu — quarantined: hangs the remote TPU
+    compile, 2026-08-19); "auto" picks scan above 2M instance slots,
+    scatter below.
 
     ``reduce=False`` returns the raw per-instance gradient block
     {"raw": (N_GRAD_PAD, B_out)} instead — benchmarking hook that isolates
@@ -1084,8 +1113,9 @@ def blend_backward_pallas(
     px = tile * tile
 
     feat_sorted = _pad_lanes(
-        sorted_features(binning, inputs,
-                        seg_rows=PACK_SEG if binning.gauss_id.shape[0] > PACK_SEG else None),
+        packed_or_sorted_features(
+            binning, inputs,
+            seg_rows=PACK_SEG if binning.gauss_id.shape[0] > PACK_SEG else None),
         chunk)  # (32, B')
 
     # the kernel compacts gradient rows globally (VMEM ring across the
@@ -1159,16 +1189,25 @@ def blend_backward_pallas(
         # TPU compile at dense scale (the 100k breakdown died in
         # '+bwd red(mxu)'; dense bench died once auto crossed the 2M
         # threshold), while the 26-payload variadic sort it builds on is
-        # sub-ms at 16M rows. Until the Mosaic hang is pinned and fixed,
-        # auto = scatter everywhere; $RADEGS_REDUCE_IMPL=mxu re-arms the
-        # sort+MXU segment-sum path for isolation probes.
-        reduce_impl = _os.environ.get("RADEGS_REDUCE_IMPL", "scatter")
+        # sub-ms at 16M rows. auto therefore picks between the scatter-add
+        # (fine at small counts) and the sort+scan reduction (segsum.py:
+        # scatter-free, B-proportional — the scatter's cost scales with the
+        # P-sized TARGET and blows up at dense scale). The Pallas MXU path
+        # stays quarantined behind $RADEGS_REDUCE_IMPL=mxu until the
+        # Mosaic hang is pinned.
+        reduce_impl = _os.environ.get(
+            "RADEGS_REDUCE_IMPL",
+            "scan" if B_out > (1 << 21) else "scatter")
     if reduce_impl == "mxu":
         from radegs_tpu.ops.segsum import reduce_grad_rows_mxu
 
         acc = reduce_grad_rows_mxu(
             grad_inst, total, P, interpret=interpret,
             seg_rows=(SEGSUM_SEG if B_out > SEGSUM_SEG > 0 else None))
+    elif reduce_impl == "scan":
+        from radegs_tpu.ops.segsum import reduce_grad_rows_scan
+
+        acc = reduce_grad_rows_scan(grad_inst, total, P, max_run=T)
     else:
         acc = _reduce_grad_rows(grad_inst, total, P)
 

@@ -28,7 +28,7 @@ from radegs_tpu.ops.integrate import OFFS_X, OFFS_Y, PointProjection, project_po
 from radegs_tpu.ops.pallas_blend import (
     _pad_lanes,
     aligned_instance_layout,
-    sorted_features,
+    packed_or_sorted_features,
 )
 
 ALPHA_EPS = 1.0 / 255.0
@@ -422,7 +422,7 @@ def integrate_image_pallas(prep, binning: TileBinning, bg, n_projected,
     inputs = (prep.xy, prep.conic, jnp.where(prep.valid, prep.opacity, 0.0),
               prep.rgb, prep.view_point, prep.camera_plane, prep.ray_plane,
               prep.normal, prep.ts)
-    feat = _pad_lanes(sorted_features(binning, inputs), chunk)
+    feat = _pad_lanes(packed_or_sorted_features(binning, inputs), chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),

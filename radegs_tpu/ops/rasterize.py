@@ -513,6 +513,21 @@ def rasterize(
     if binning is None:
         if instance_budget is None:
             instance_budget = default_instance_budget(prep.xy.shape[0])
+        if backend == "xla":
+            features = None  # the scan path reads per-gaussian arrays
+        else:
+            # pallas: the blend-feature columns ride the binning's slot
+            # expansion + tile sort, replacing the post-sort random-id
+            # gather of sorted_features (~320 ms at dense scale). Values
+            # are identical; gradients come from the custom VJP, so the
+            # stop_gradient is free.
+            from radegs_tpu.ops.pallas_blend import feature_rows
+
+            features = jax.lax.stop_gradient(feature_rows((
+                prep.xy, prep.conic,
+                jnp.where(prep.valid, prep.opacity, 0.0), prep.rgb,
+                prep.view_point, prep.camera_plane, prep.ray_plane,
+                prep.normal, prep.ts)))
         binning = bin_gaussians(
             jax.lax.stop_gradient(prep.xy),
             jax.lax.stop_gradient(prep.radius),
@@ -528,6 +543,7 @@ def rasterize(
                 jnp.where(prep.valid, prep.opacity, 0.0)
             ),
             need_tile_gauss=(backend == "xla"),
+            features=features,
         )
     if xy_abs is None:
         xy_abs = jnp.zeros_like(prep.xy)

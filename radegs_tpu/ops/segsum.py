@@ -70,6 +70,83 @@ def _searchsorted_left(keys, queries):
     return lo
 
 
+@functools.partial(jax.jit, static_argnames=("P", "max_run"))
+def reduce_grad_rows_scan(grad_inst, total, P: int, *, max_run: int | None = None):
+    """Instance -> gaussian gradient reduction via sort + segmented
+    shift-add scan — pure XLA, deterministic, scatter-free, Mosaic-free.
+
+    Same contract as ``pallas_blend._reduce_grad_rows`` / the MXU path:
+    (N_GRAD_PAD, B_out) with gid as f32 in row N_GRAD -> (N_GRAD, P);
+    rows past ``total`` or with gid outside [0, P) are ignored.
+
+    Motivation (BENCH_NOTES round-4): the scatter path's cost scales with
+    the P-sized target table (~150-200 ms/Mrow at multi-M targets) and the
+    Pallas MXU path hangs the remote TPU compile; lax.sort meanwhile is
+    sub-ms at 16M rows with 26 payload columns.  So: (1) ONE sort brings
+    every gaussian's rows together, (2) a Hillis-Steele segmented inclusive
+    scan (log2(max_run) shift-compare-add passes — runs are bounded by the
+    tile count, not B) leaves each run's TOTAL at its last row, (3) a
+    compaction sort moves run-end rows to the front, and (4) the
+    binning-style merge trick maps each gaussian id to its run row with two
+    more (B_out+P)-row sorts and one near-monotone P-row gather.  Summation
+    order within a run is a fixed binary tree — bit-deterministic across
+    runs and devices.
+
+    ``max_run``: upper bound on any single gaussian's instance count
+    (callers pass the tile count: a gaussian contributes at most one
+    instance per tile).  None = B_out (safe, more scan passes).
+    """
+    B_out = grad_inst.shape[1]
+    q = jnp.arange(B_out, dtype=jnp.int32)
+    gq = grad_inst[N_GRAD].astype(jnp.int32)
+    live = (q < total) & (gq >= 0) & (gq < P)
+    # dead lanes can carry NaN/Inf garbage: zero values, dump key to P
+    key = jnp.where(live, gq, P)
+    ops = jax.lax.sort(
+        (key,) + tuple(jnp.where(live, grad_inst[i], 0.0)
+                       for i in range(N_GRAD)),
+        num_keys=1, is_stable=False)
+    key_s = ops[0]
+    acc = jnp.stack(ops[1:], axis=0)  # (N_GRAD, B_out)
+
+    # segmented inclusive forward scan: after passes d = 1, 2, ..., every
+    # position holds its run's sum over the trailing 2^(k+1) window, so the
+    # run END holds the full total once 2^(k+1) >= run length.  The dump
+    # run (key == P) may be longer — never read.
+    bound = min(B_out, max_run) if max_run else B_out
+    d = 1
+    while d < bound:
+        ksh = jnp.concatenate([jnp.full((d,), -1, key_s.dtype), key_s[:-d]])
+        ash = jnp.pad(acc[:, :-d], ((0, 0), (d, 0)))
+        acc = acc + jnp.where((ksh == key_s)[None], ash, 0.0)
+        d *= 2
+
+    nxt = jnp.concatenate([key_s[1:], jnp.full((1,), -1, key_s.dtype)])
+    is_end = (key_s != nxt) & (key_s < P)
+    ckey = jnp.where(is_end, key_s, P)
+    comp = jax.lax.sort((ckey,) + tuple(acc[i] for i in range(N_GRAD)),
+                        num_keys=1, is_stable=False)
+    K = min(B_out, P)  # <= one run-end row per gaussian
+    table = jnp.stack(
+        [comp[0][:K].astype(jnp.float32)]
+        + [comp[i + 1][:K] for i in range(N_GRAD)], axis=1)  # (K, 1+N_GRAD)
+
+    # gaussian id -> its (unique) run row: last compacted row with
+    # gid <= p, via the merge trick of binning._owner_merge (run-end gids
+    # are sorted unique below P; dump rows carry key 2P and never count)
+    mk = jnp.concatenate(
+        [comp[0][:K] * 2, jnp.arange(P, dtype=jnp.int32) * 2 + 1])
+    mt = jnp.concatenate(
+        [jnp.ones((K,), jnp.int32), jnp.zeros((P,), jnp.int32)])
+    _, mt_s = jax.lax.sort((mk, mt), num_keys=1, is_stable=True)
+    own = jnp.cumsum(mt_s) - 1
+    _, own_q = jax.lax.sort((mt_s, own), num_keys=1, is_stable=True)
+    j = jnp.clip(own_q[:P], 0, K - 1)
+    rows = table[j]  # (P, 1+N_GRAD) near-monotone row gather
+    present = rows[:, 0].astype(jnp.int32) == jnp.arange(P, dtype=jnp.int32)
+    return jnp.where(present[None], rows[:, 1:].T, 0.0)
+
+
 def _segsum_kernel(rs_ref, rows_hbm, out_ref, fbuf, sems, *, chunk: int,
                    win: int, n_win: int, n_seg: int, seg_rows: int):
     w = pl.program_id(0)

@@ -213,3 +213,43 @@ def test_round_budget_buckets():
     for need in (3_000_000, 5_555_555, 12_000_001):
         assert round_budget(need) % BUDGET_SEG == 0
         assert round_budget(need) >= need
+
+
+def test_feat_pack_rides_sort_matches_legacy_gather():
+    """Pack-rides-sort (features= argument) is bit-identical to the legacy
+    post-sort random-id gather (pallas_blend.sorted_features), monolithic
+    AND segmented, and leaves every other binning output unchanged."""
+    from radegs_tpu.ops.pallas_blend import feature_rows, sorted_features
+
+    rng = np.random.default_rng(3)
+    P, W, H = 300, 256, 192
+    xy = jnp.asarray(rng.uniform(0, 250, (P, 2)).astype(np.float32))
+    radius = jnp.asarray(rng.uniform(1, 30, P).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0.5, 5, P).astype(np.float32))
+    valid = jnp.asarray(rng.random(P) > 0.1)
+    L = rng.normal(size=(P, 2, 2)).astype(np.float32)
+    cc = np.einsum("pij,pkj->pik", L, L) + np.eye(2, dtype=np.float32)[None] * 0.1
+    conic = jnp.asarray(np.stack([cc[:, 0, 0], cc[:, 0, 1], cc[:, 1, 1]], 1))
+    opacity = jnp.asarray(rng.uniform(0.01, 1, P).astype(np.float32))
+    inputs = (xy, conic, opacity,
+              jnp.asarray(rng.normal(size=(P, 3)).astype(np.float32)),
+              jnp.asarray(rng.normal(size=(P, 3)).astype(np.float32)),
+              jnp.asarray(rng.normal(size=(P, 3, 2)).astype(np.float32)),
+              jnp.asarray(rng.normal(size=(P, 2)).astype(np.float32)),
+              jnp.asarray(rng.normal(size=(P, 3)).astype(np.float32)),
+              jnp.asarray(rng.normal(size=P).astype(np.float32)))
+    feats = feature_rows(inputs)
+    kw = dict(instance_budget=4096, max_per_tile=256, conic=conic,
+              opacity=opacity, need_tile_gauss=False)
+    b_old = bin_gaussians(xy, radius, depth, valid, W, H, **kw)
+    b_new = bin_gaussians(xy, radius, depth, valid, W, H, features=feats, **kw)
+    for name in ("gauss_id", "tile_id", "tile_start", "tile_count",
+                 "n_instances", "n_overflow", "n_culled"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(b_old, name)),
+            np.asarray(getattr(b_new, name)), err_msg=name)
+    legacy = np.asarray(sorted_features(b_old, inputs))
+    np.testing.assert_array_equal(legacy, np.asarray(b_new.feat_pack))
+    b_seg = bin_gaussians(xy, radius, depth, valid, W, H, features=feats,
+                          seg_rows=1024, **kw)
+    np.testing.assert_array_equal(legacy, np.asarray(b_seg.feat_pack))

@@ -170,3 +170,44 @@ def test_segmented_sort_numpy_oracle():
         if 0 <= gid[i] < P:
             want[gid[i]] += g[:N_GRAD, i]
     np.testing.assert_allclose(got.T, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("gid_mode", ["uniform", "runs", "sparse"])
+def test_scan_reduction_matches_scatter(gid_mode):
+    from radegs_tpu.ops.segsum import reduce_grad_rows_scan
+
+    P, B_out, total = 700, 4096, 3000
+    gi, _ = _case(P, B_out, total, 7, gid_mode)
+    want = _reduce_grad_rows(gi, jnp.int32(total), P, seg_rows=B_out)
+    got = reduce_grad_rows_scan(gi, jnp.int32(total), P)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+    # max_run capping (the tile-count bound callers pass): "runs" mode has
+    # runs up to ~B/ (P//16); a bound >= that must not change the result
+    got_cap = reduce_grad_rows_scan(gi, jnp.int32(total), P, max_run=4096)
+    np.testing.assert_array_equal(np.asarray(got_cap), np.asarray(got))
+
+
+def test_scan_reduction_numpy_oracle_and_edges():
+    from radegs_tpu.ops.segsum import reduce_grad_rows_scan
+
+    P, B_out, total = 37, 1024, 900
+    gi, gid = _case(P, B_out, total, 13)
+    got = np.asarray(reduce_grad_rows_scan(gi, jnp.int32(total), P))
+    g = np.asarray(gi)
+    want = np.zeros((P, N_GRAD), np.float32)
+    for i in range(total):
+        if 0 <= gid[i] < P:
+            want[gid[i]] += g[:N_GRAD, i]
+    np.testing.assert_allclose(got.T, want, atol=1e-4)
+    # B_out < P (tiny budgets vs big capacity) and total == 0
+    gi2, gid2 = _case(97, 64, 50, 17)
+    got2 = np.asarray(reduce_grad_rows_scan(gi2, jnp.int32(50), 97))
+    want2 = np.zeros((97, N_GRAD), np.float32)
+    g2 = np.asarray(gi2)
+    for i in range(50):
+        if 0 <= gid2[i] < 97:
+            want2[gid2[i]] += g2[:N_GRAD, i]
+    np.testing.assert_allclose(got2.T, want2, atol=1e-4)
+    got0 = np.asarray(reduce_grad_rows_scan(gi2, jnp.int32(0), 97))
+    assert (got0 == 0).all()
