@@ -179,6 +179,23 @@ def reset_3d_filter(state: GaussianState) -> GaussianState:
     return state.replace(filter_3d=jnp.zeros_like(state.filter_3d))
 
 
+def update_3d_filter_partial(state: GaussianState, cameras, new_mask) -> GaussianState:
+    """Incremental Mip-filter refresh for newly added points only
+    (scene/gaussian_model.py:235-293, compute_partial_3D_filter — dead code
+    in the reference, ported for inventory completeness).
+
+    The reference appends filter values for points past the stored filter
+    length; in the capacity-padded static-shape model the equivalent is a
+    MASKED update: positions under ``new_mask`` get the freshly computed
+    filter, everything else keeps its stored value. (On TPU the full
+    static-shape compute costs the same either way; the semantics — old
+    points keep their possibly-stale filter — are what the method is for.)
+    """
+    f = compute_3d_filter(state.params.xyz, cameras)
+    upd = jnp.where(new_mask[:, None], f, state.filter_3d)
+    return state.replace(filter_3d=jnp.where(state.active[:, None], upd, 0.0))
+
+
 def oneup_sh_degree(state: GaussianState) -> GaussianState:
     return state.replace(
         active_sh_degree=jnp.minimum(state.active_sh_degree + 1, state.max_sh_degree)
@@ -452,6 +469,39 @@ def get_tetra_points(state: GaussianState):
     smax = scale.max(axis=-1)
     all_scales = np.concatenate([np.repeat(smax, 8), smax], axis=0)
     return all_pts.astype(np.float32), all_scales.astype(np.float32)
+
+
+def get_truc_tetra_points(state: GaussianState, cameras, depth_truc: float):
+    """Depth-truncated tetra seeds (gaussian_model.py:431-493,
+    get_truc_tetra_points — dead code in the reference, ported for inventory
+    completeness): get_tetra_points restricted to Gaussians whose center
+    projects in front of some camera at z in (0.2, depth_truc) inside the
+    15%-padded image rectangle.
+
+    Divergence (documented): the reference slices by ``valid_depth`` — the
+    mask of only the LAST camera in the loop — while accumulating
+    ``valid_points`` it never uses; the accumulated any-camera mask is the
+    evident intent and is what this uses.
+    """
+    import numpy as _np
+
+    xyz = _np.asarray(jax.device_get(state.params.xyz))
+    valid = _np.zeros((xyz.shape[0],), bool)
+    for cam in cameras:
+        W, H = cam.width, cam.height
+        focal_x = W / (2.0 * _np.tan(cam.fovx / 2.0))
+        focal_y = H / (2.0 * _np.tan(cam.fovy / 2.0))
+        Rw2c = _np.asarray(cam.R, _np.float32).T
+        xyz_cam = xyz @ Rw2c.T + _np.asarray(cam.T, _np.float32)[None, :]
+        z = xyz_cam[:, 2]
+        zc = _np.maximum(z, 0.001)
+        x = xyz_cam[:, 0] / zc * focal_x + W / 2.0
+        y = xyz_cam[:, 1] / zc * focal_y + H / 2.0
+        in_screen = ((x >= -0.15 * W) & (x <= 1.15 * W)
+                     & (y >= -0.15 * H) & (y <= 1.15 * H))
+        valid |= (z > 0.2) & (z < depth_truc) & in_screen
+    sub = state.replace(active=state.active & jnp.asarray(valid))
+    return get_tetra_points(sub)
 
 
 # ------------------------------------------------------------- PLY I/O ----

@@ -39,14 +39,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # 8 virtual devices TIME-SHARE one physical core here, so at million-splat
 # scale the per-shard compute between collectives can exceed XLA:CPU's
-# default 20s/40s rendezvous warn/terminate timeouts (the sharded step then
-# dies with "Termination timeout for all reduce ... exceeded"). Raise them —
-# this is a host-simulation artifact, not a deadlock.
+# rendezvous timeouts (the sharded step then dies with a Check failure in
+# AwaitAndLogIfStuck). Raise ALL THREE — the r4 run crashed at exactly
+# 600 s because only the first two were set and the third
+# (xla_cpu_collective_timeout_seconds, default 600) is the one that
+# CHECK-fails: one host thread sat in a 3-minute XLA recompile while its
+# 7 peers waited in an all-reduce. A host-simulation artifact, not a
+# deadlock.
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
     + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
-    + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+    + " --xla_cpu_collective_timeout_seconds=7200"
 )
 
 import jax  # noqa: E402
@@ -105,6 +110,12 @@ def run_loop(state, cam, gt, target: int, mesh=None, max_iters: int = 60,
     reached = {"it": None}
 
     def track(it, ts, m):
+        if mesh is not None:
+            # serialize sharded executions on the virtual CPU mesh: two
+            # in-flight modules with collectives can interleave their
+            # rendezvous across the 8 device threads of one process
+            # (irrelevant on real TPUs, where the runtime orders them)
+            jax.block_until_ready(ts.gaussians.params.xyz)
         # n_active() fetch only at log points to avoid a host sync per iter
         if reached["it"] is None and m is not None \
                 and int(ts.gaussians.n_active()) >= target:

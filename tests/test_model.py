@@ -152,3 +152,45 @@ def test_update_3d_filter():
     act = np.asarray(st2.active)
     assert np.all(f[act] > 0)
     assert np.all(f[~act] == 0)
+
+
+def test_dead_reference_helpers():
+    """compute_partial_3D_filter / get_truc_tetra_points ports
+    (scene/gaussian_model.py:235-293, 431-493 — dead in the reference)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radegs_tpu.core.camera import Camera
+    from radegs_tpu.models import gaussian_model as gm
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(0, 1.0, (40, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (40, 3)).astype(np.float32)
+    cam = Camera.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0], 0.9, 0.9, 64, 64)
+    state = gm.create_from_points(pts, cols, sh_degree=0)
+    state = gm.update_3d_filter(state, [cam])
+
+    # partial refresh equals the full recompute where new, keeps old where not
+    state_stale = state.replace(filter_3d=state.filter_3d + 0.123)
+    new_mask = jnp.asarray(np.arange(state.capacity) % 3 == 0)
+    part = gm.update_3d_filter_partial(state_stale, [cam], new_mask)
+    full = gm.update_3d_filter(state, [cam])
+    act = np.asarray(state.active)
+    nm = np.asarray(new_mask)
+    np.testing.assert_allclose(
+        np.asarray(part.filter_3d)[act & nm],
+        np.asarray(full.filter_3d)[act & nm], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(part.filter_3d)[act & ~nm],
+        np.asarray(state_stale.filter_3d)[act & ~nm], rtol=1e-6)
+
+    # truncated seeds: a tight depth_truc keeps fewer gaussians than the
+    # full set, seeds still come 8 corners + 1 center per kept gaussian
+    p_all, s_all = gm.get_tetra_points(state)
+    p_tr, s_tr = gm.get_truc_tetra_points(state, [cam], depth_truc=4.0)
+    assert p_tr.shape[0] % 9 == 0 and p_tr.shape[0] <= p_all.shape[0]
+    assert s_tr.shape[0] == p_tr.shape[0]
+    # infinitely permissive truncation reproduces the full seed set
+    p_inf, _ = gm.get_truc_tetra_points(state, [cam], depth_truc=1e9)
+    kept = p_inf.shape[0] // 9
+    assert kept <= p_all.shape[0] // 9
