@@ -75,14 +75,27 @@ def main():
 
     def binning_of(prep):
         # mirror rasterize()'s call: precise culling on, no tile_gauss
-        # (the Pallas path reads the flat layout only)
+        # (the Pallas path reads the flat layout only), blend features
+        # riding the expansion + sort (so "+binning" includes the pack and
+        # "+pack/align" measures only the residual _pad_lanes)
+        on_tpu = jax.default_backend() == "tpu"
+        features = None
+        if on_tpu:
+            from radegs_tpu.ops.pallas_blend import feature_rows
+
+            features = jax.lax.stop_gradient(feature_rows((
+                prep.xy, prep.conic,
+                jnp.where(prep.valid, prep.opacity, 0.0), prep.rgb,
+                prep.view_point, prep.camera_plane, prep.ray_plane,
+                prep.normal, prep.ts)))
         return bin_gaussians(
             jax.lax.stop_gradient(prep.xy), jax.lax.stop_gradient(prep.radius),
             jax.lax.stop_gradient(prep.depth), prep.valid, W, H,
             instance_budget=budget, max_per_tile=pcfg.max_per_tile,
             conic=jax.lax.stop_gradient(prep.conic),
             opacity=jax.lax.stop_gradient(jnp.where(prep.valid, prep.opacity, 0.0)),
-            need_tile_gauss=(jax.default_backend() != "tpu"),
+            need_tile_gauss=not on_tpu,
+            features=features,
         )
 
     # ---- cumulative prefixes; each returns ONE scalar used to perturb the
@@ -102,14 +115,14 @@ def main():
 
     @jax.jit
     def p_pack(g):
-        from radegs_tpu.ops.pallas_blend import sorted_features
+        from radegs_tpu.ops.pallas_blend import packed_or_sorted_features
 
         prep = prep_of(g)
         b = binning_of(prep)
         inputs = (prep.xy, prep.conic, jnp.where(prep.valid, prep.opacity, 0.0),
                   prep.rgb, prep.view_point, prep.camera_plane, prep.ray_plane,
                   prep.normal, prep.ts)
-        feat_sorted = sorted_features(b, inputs)
+        feat_sorted = packed_or_sorted_features(b, inputs)
         return jnp.sum(feat_sorted[0]) * 1e-20
 
     @jax.jit
@@ -228,7 +241,10 @@ def main():
         t_bk = time_prefix(p_bwd_kernel, "+bwd kernel")
         t_bb = time_prefix(p_bwd_blend, "+bwd reduce")
         time_prefix(p_bwd_blend_impl("scatter"), "+bwd red(scat)")
-        time_prefix(p_bwd_blend_impl("mxu"), "+bwd red(mxu)")
+        time_prefix(p_bwd_blend_impl("scan"), "+bwd red(scan)")
+        # "mxu" intentionally absent: reduce_grad_rows_mxu hangs the remote
+        # TPU compile (BENCH_NOTES round-4); probe it only via the isolated
+        # segsum stage of the session chain
     t_loss = time_prefix(p_fwd_loss, "+loss tail")
     t_bwd = time_prefix(p_grads, "+backward")
     ts_run, t_full = time_full()
