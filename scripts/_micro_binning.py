@@ -154,11 +154,16 @@ def part2_primitives():
         return pos[:T].astype(jnp.float32) + c[:T]
     timed("(f) sort-based ranges", sort_ranges, fcols[0][:T], tid)
 
-    # (g) the full 1-key + 26-payload instance sort at dense B
+    # (g) the full 1-key + 26-payload instance sort at dense B.
+    # EVERY output must be consumed: returning only out[1] lets XLA drop
+    # the other 25 payload columns from the sort entirely (this DCE is
+    # exactly what made scripts/_micro_sort.py's round-4 "sorts are free"
+    # numbers bogus — it returned 2 of 27 outputs).
     def sort27(c, t, cols):
         ops = (t,) + (cols[0] + c[:1].astype(jnp.float32) * 1e-20,) + cols[1:]
         out = jax.lax.sort(ops, num_keys=1, is_stable=True)
-        return out[1]
+        return sum(o if o.dtype == jnp.float32 else o.astype(jnp.float32)
+                   for o in out)
     timed("(g) sort 1key+26payload @6M", sort27, fcols[0], tid, fcols)
 
     # (h) merge-sort owner: sort B+P merged positions, cumsum tags,
@@ -176,9 +181,10 @@ def part2_primitives():
     timed("(h) merge-sort owner (B+P)", merge_owner, fcols[0], starts)
 
     # (i) pack assembly: stack 27 (B,) columns -> (32, B) padded block
+    # (sum over rows so DCE cannot drop any column's movement)
     def stack_pack(c, cols):
         rows = jnp.stack(cols + (cols[0] + c[:1],), axis=0)  # (27, B)
-        return jnp.pad(rows, ((0, 5), (0, 0)))[0]
+        return jnp.sum(jnp.pad(rows, ((0, 5), (0, 0))), axis=0)
     timed("(i) stack 27 cols -> (32,B)", stack_pack, fcols[0], fcols)
 
 
