@@ -131,6 +131,38 @@ def _q_min_over_rect(cx, cy, a, b, c, x0, x1, y0, y1):
     return jnp.where(inside, 0.0, qmin)
 
 
+SORT_GROUP = int(_os.environ.get("RADEGS_SORT_GROUP", "6"))
+
+
+def sort_grouped(operands, num_keys: int = 1, group: int | None = None):
+    """Variadic stable sort in PAYLOAD GROUPS: ceil(P/g) independent stable
+    sorts of (keys..., group_i), each reproducing the identical permutation
+    (stability + identical keys), concatenated back in operand order.
+
+    Why: XLA:TPU's many-operand sort lowers through a comparator whose
+    remote compile hangs/expodes at high operand counts (round-4: a 26-
+    payload stable sort froze the compile twice; 2-3 operand sorts are the
+    measured fast path). Grouping keeps every individual sort narrow while
+    the total data movement stays one sort's worth per column.
+    $RADEGS_SORT_GROUP tunes the group size (device A/B), 0 = monolithic.
+    """
+    if group is None:
+        group = SORT_GROUP
+    keys = operands[:num_keys]
+    pays = list(operands[num_keys:])
+    if group <= 0 or len(pays) <= group:
+        return jax.lax.sort(tuple(operands), num_keys=num_keys, is_stable=True)
+    out_keys = None
+    out_pays = []
+    for i in range(0, len(pays), group):
+        res = jax.lax.sort(tuple(keys) + tuple(pays[i:i + group]),
+                           num_keys=num_keys, is_stable=True)
+        if out_keys is None:
+            out_keys = res[:num_keys]
+        out_pays.extend(res[num_keys:])
+    return tuple(out_keys) + tuple(out_pays)
+
+
 def _owner_merge(starts, B: int):
     """slot -> covering-run index via a MERGE of run starts into slot
     positions, built from two stable sorts + a cumsum — replacing the
@@ -372,7 +404,7 @@ def bin_gaussians(
         operands.append(jnp.concatenate(
             [jnp.arange(B, dtype=jnp.int32), jnp.full((T_sent,), -1, jnp.int32)]
         ))
-    out_s = jax.lax.sort(tuple(operands), num_keys=1, is_stable=True)
+    out_s = sort_grouped(tuple(operands), num_keys=1)
     tid_s, gid_s = out_s[0], out_s[1]
     orig_s = out_s[-1] if need_sorted_orig else None
     Bs = B + T_sent

@@ -513,8 +513,12 @@ def rasterize(
     if binning is None:
         if instance_budget is None:
             instance_budget = default_instance_budget(prep.xy.shape[0])
-        if backend == "xla":
-            features = None  # the scan path reads per-gaussian arrays
+        import os as _os
+
+        if backend == "xla" or _os.environ.get("RADEGS_FEAT_RIDE", "1") == "0":
+            features = None  # the scan path reads per-gaussian arrays;
+            # RADEGS_FEAT_RIDE=0 falls back to the legacy post-sort gather
+            # (device A/B knob for the pack-rides-sort design)
         else:
             # pallas: the blend-feature columns ride the binning's slot
             # expansion + tile sort, replacing the post-sort random-id

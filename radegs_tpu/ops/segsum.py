@@ -101,11 +101,16 @@ def reduce_grad_rows_scan(grad_inst, total, P: int, *, max_run: int | None = Non
     gq = grad_inst[N_GRAD].astype(jnp.int32)
     live = (q < total) & (gq >= 0) & (gq < P)
     # dead lanes can carry NaN/Inf garbage: zero values, dump key to P
+    from radegs_tpu.ops.binning import sort_grouped
+
     key = jnp.where(live, gq, P)
-    ops = jax.lax.sort(
+    # grouped stable sorts: a monolithic 26-operand sort hangs the remote
+    # TPU compile (see binning.sort_grouped). Stability also makes the
+    # in-run summation order reproducible.
+    ops = sort_grouped(
         (key,) + tuple(jnp.where(live, grad_inst[i], 0.0)
                        for i in range(N_GRAD)),
-        num_keys=1, is_stable=False)
+        num_keys=1)
     key_s = ops[0]
     acc = jnp.stack(ops[1:], axis=0)  # (N_GRAD, B_out)
 
@@ -124,8 +129,8 @@ def reduce_grad_rows_scan(grad_inst, total, P: int, *, max_run: int | None = Non
     nxt = jnp.concatenate([key_s[1:], jnp.full((1,), -1, key_s.dtype)])
     is_end = (key_s != nxt) & (key_s < P)
     ckey = jnp.where(is_end, key_s, P)
-    comp = jax.lax.sort((ckey,) + tuple(acc[i] for i in range(N_GRAD)),
-                        num_keys=1, is_stable=False)
+    comp = sort_grouped((ckey,) + tuple(acc[i] for i in range(N_GRAD)),
+                        num_keys=1)
     K = min(B_out, P)  # <= one run-end row per gaussian
     table = jnp.stack(
         [comp[0][:K].astype(jnp.float32)]
@@ -254,16 +259,20 @@ def reduce_grad_rows_mxu(grad_inst, total, P: int, *, win: int = 512,
     starts = []  # per segment: (n_win+1,) local row ranges
     for s in range(n_seg):
         s0, s1 = s * seg, (s + 1) * seg
+        from radegs_tpu.ops.binning import sort_grouped
+
         ops_s = tuple(op[s0:s1] for op in ops)
+        # grouped stable sorts — the monolithic 26-operand sort is the
+        # prime suspect for this path's remote-compile hang (round-4)
         if s == 0:
-            ops_s = jax.lax.sort(ops_s, num_keys=1, is_stable=False)
+            ops_s = sort_grouped(ops_s, num_keys=1)
         else:
             # trailing segments past the compaction ring's live prefix are
             # all-dead (key == dead everywhere after masking): already
             # "sorted", skip the work
             ops_s = jax.lax.cond(
                 s0 < total,
-                lambda o: jax.lax.sort(o, num_keys=1, is_stable=False),
+                lambda o: tuple(sort_grouped(o, num_keys=1)),
                 lambda o: o,
                 ops_s,
             )

@@ -34,6 +34,10 @@ stamp "merged bench: NEW binning headline + dense"
 timeout 5400 python bench.py || echo BENCH_MERGED_FAILED
 
 gate || exit 1
+stamp "pack A/B: legacy post-sort gather (RADEGS_FEAT_RIDE=0), 100k+dense"
+timeout 5400 env RADEGS_FEAT_RIDE=0 python bench.py --no-parity || echo PACK_LEGACY_FAILED
+
+gate || exit 1
 stamp "breakdown 100k (new pipeline attribution)"
 timeout 2400 python scripts/bench_breakdown.py --scene 100k || echo BREAKDOWN_100K_FAILED
 
@@ -67,7 +71,7 @@ timeout 7200 python scripts/decimation_sweep.py \
 
 gate || exit 1
 stamp "LONG full-schedule run (VERDICT r3 #3): 30k iters, checkpointed"
-timeout "$LONGQ" python scripts/quality_dense.py \
+timeout "$LONGQ" env RADEGS_REDUCE_IMPL=scatter python scripts/quality_dense.py \
   --iters 30000 --eval_iters 7000 15000 30000 \
   --checkpoint /root/repo/ckpt_q30k --report QUALITY_r04_30k.json \
   || echo QUALITY_30K_FAILED
