@@ -1195,9 +1195,10 @@ def blend_backward_pallas(
         # P-sized TARGET and blows up at dense scale). The Pallas MXU path
         # stays quarantined behind $RADEGS_REDUCE_IMPL=mxu until the
         # Mosaic hang is pinned.
-        reduce_impl = _os.environ.get(
-            "RADEGS_REDUCE_IMPL",
-            "scan" if B_out > (1 << 21) else "scatter")
+        # default scatter until the scan path's device timing lands
+        # ($RADEGS_REDUCE_IMPL=scan opts in; scan is parity-proven and
+        # B-proportional but its grouped-sort compile cost is unmeasured)
+        reduce_impl = _os.environ.get("RADEGS_REDUCE_IMPL", "scatter")
     if reduce_impl == "mxu":
         from radegs_tpu.ops.segsum import reduce_grad_rows_mxu
 

@@ -515,10 +515,13 @@ def rasterize(
             instance_budget = default_instance_budget(prep.xy.shape[0])
         import os as _os
 
-        if backend == "xla" or _os.environ.get("RADEGS_FEAT_RIDE", "1") == "0":
-            features = None  # the scan path reads per-gaussian arrays;
-            # RADEGS_FEAT_RIDE=0 falls back to the legacy post-sort gather
-            # (device A/B knob for the pack-rides-sort design)
+        if backend == "xla" or _os.environ.get("RADEGS_FEAT_RIDE", "0") == "0":
+            features = None  # the scan path reads per-gaussian arrays.
+            # RADEGS_FEAT_RIDE=1 opts into the pack-rides-sort design —
+            # parity-proven but its device compile+runtime is still
+            # unmeasured (the grouped-sort compile of the first attempt
+            # never finished inside a wedge window), so the default stays
+            # the legacy post-sort gather until a bench lands
         else:
             # pallas: the blend-feature columns ride the binning's slot
             # expansion + tile sort, replacing the post-sort random-id
