@@ -11,6 +11,7 @@ redesign (sort/scan-only scheduling, pack rides the sort) is chosen on
 measured numbers. All timings use the chained-input methodology
 (CLAUDE.md): each rep consumes the previous rep's output.
 """
+import functools
 import os
 import sys
 import time
@@ -188,6 +189,181 @@ def part2_primitives():
     timed("(i) stack 27 cols -> (32,B)", stack_pack, fcols[0], fcols)
 
 
+def part3_dense_pipeline():
+    """Composed-pipeline attribution at DENSE shapes: an inline replica of
+    the current bin_gaussians (owner-merge + segmented expand + exact cull +
+    sentinel sort + compaction ranges [+ legacy pack | + riding pack]) with
+    cumulative levels, on synthetic inputs shaped like the dense bench
+    (P=2M capacity, ~1M alive, ~8M instances, B=16M budget). The isolated
+    primitives (part 2) measured ALL cheap while the production dense
+    binning bar is ~840 ms — this finds the composition cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from radegs_tpu.ops import binning as bn
+
+    B = int(os.environ.get("MB3_B", 16 * (1 << 20)))
+    P = int(os.environ.get("MB3_P", 1 << 21))
+    W, H = 1600, 1200
+    tiles_x, tiles_y = bn.tile_grid(W, H)
+    num_tiles = tiles_x * tiles_y
+    seg = 1 << 21
+    rng = np.random.default_rng(0)
+
+    alive_frac = 0.52
+    alive = jnp.asarray(rng.random(P) < alive_frac)
+    # screen positions + radii tuned to ~8M instances: mean touched ~7.6
+    xy = jnp.asarray(
+        np.stack([rng.uniform(0, W, P), rng.uniform(0, H, P)], 1).astype(np.float32))
+    radius = jnp.asarray((rng.gamma(2.0, 11.0, P) + 2).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0.5, 8.0, P).astype(np.float32))
+    # PD conics roughly matching the radii
+    s2 = (radius / 3.0) ** 2
+    a = jnp.asarray((1.0 / np.maximum(np.asarray(s2), 1e-3)
+                     * rng.uniform(0.7, 1.3, P)).astype(np.float32))
+    c = jnp.asarray((1.0 / np.maximum(np.asarray(s2), 1e-3)
+                     * rng.uniform(0.7, 1.3, P)).astype(np.float32))
+    b = jnp.asarray((np.sqrt(np.asarray(a * c)) * rng.uniform(-0.4, 0.4, P)
+                     ).astype(np.float32))
+    op = jnp.asarray(rng.uniform(0.1, 0.95, P).astype(np.float32))
+    feat24 = jnp.asarray(rng.normal(size=(P, 24)).astype(np.float32))
+
+    def pipeline(bump, level, pack):
+        xyb = xy + bump[0, 0]
+        tau = jnp.maximum(2.0 * jnp.log(jnp.maximum(op, 1e-12) * 255.0), 0.0)
+        det = jnp.maximum(a * c - b * b, 1e-24)
+        ex = jnp.minimum(jnp.sqrt(tau * c / det), radius)
+        ey = jnp.minimum(jnp.sqrt(tau * a / det), radius)
+        rx_min, ry_min, w, h, touched = bn.gaussian_rects(
+            xyb, radius, tiles_x, tiles_y, extent_x=ex, extent_y=ey)
+        live = alive & (radius > 0) & (touched > 0)
+        touched_m = jnp.where(live, touched, 0)
+        depth_key = jnp.where(live, depth, jnp.inf)
+        perm = jnp.argsort(depth_key)
+        touched_p = touched_m[perm]
+        alive_p = live[perm]
+        offsets_p = jnp.cumsum(touched_p) - touched_p
+        total = offsets_p[-1] + touched_p[-1]
+        if level == 0:
+            return (total + jnp.sum(offsets_p)).astype(jnp.float32)[None, None] * 1e-20
+        starts = jnp.where(alive_p & (offsets_p < B), offsets_p, B).astype(jnp.int32)
+        owner = bn._owner_merge(starts, B)
+        if level == 1:
+            return jnp.sum(owner).astype(jnp.float32)[None, None] * 1e-20
+        alive_pos = jnp.nonzero(alive_p, size=P, fill_value=P - 1)[0].astype(jnp.int32)
+        ids = perm[alive_pos]
+        cols = [x.astype(jnp.float32) for x in
+                [ids, offsets_p[alive_pos], jnp.maximum(w[ids], 1),
+                 rx_min[ids], ry_min[ids]]]
+        cols += [tau[ids]]
+        packed = jnp.stack(cols, axis=1)
+        if pack == "ride":
+            packed = jnp.concatenate([packed, feat24[ids]], axis=1)
+        cull_ix = dict(cx=None, cy=None)  # read from feat or dedicated cols
+        total_capped = jnp.minimum(total, B)
+
+        parts = []
+        for s0 in range(0, B, seg):
+            s1 = min(s0 + seg, B)
+            n = s1 - s0
+
+            def live_seg(_, s0=s0, s1=s1, n=n):
+                sl_idx = jnp.arange(s0, s1, dtype=jnp.int32)
+                sp = packed[jnp.clip(owner[s0:s1], 0, P - 1)]
+                sl = sp[:, :5].astype(jnp.int32)
+                svalid = sl_idx < total_capped
+                g = jnp.where(svalid, sl[:, 0], -1)
+                within = sl_idx - sl[:, 1]
+                qd = jnp.floor((within.astype(jnp.float32) + 0.5) / sp[:, 2]).astype(jnp.int32)
+                ty = sl[:, 4] + qd
+                tx = sl[:, 3] + within - qd * sl[:, 2]
+                t = jnp.where(svalid, ty * tiles_x + tx, num_tiles)
+                if level >= 3:
+                    if pack == "ride":
+                        cx, cy, aa, bb, cc = (sp[:, 6], sp[:, 7], sp[:, 8],
+                                              sp[:, 9], sp[:, 10])
+                    else:
+                        # legacy carries no cull floats here; gather ad hoc
+                        cx, cy = xyb[sl[:, 0], 0], xyb[sl[:, 0], 1]
+                        aa, bb, cc = a[sl[:, 0]], b[sl[:, 0]], c[sl[:, 0]]
+                    x0 = (tx * 16).astype(jnp.float32)
+                    y0 = (ty * 16).astype(jnp.float32)
+                    qmin = bn._q_min_over_rect(cx, cy, aa, bb, cc,
+                                               x0, x0 + 15.0, y0, y0 + 15.0)
+                    keep = qmin <= sp[:, 5] * (1.0 + 1e-5) + 1e-6
+                    t = jnp.where(keep, t, num_tiles)
+                f = sp[:, 6:] if pack == "ride" else jnp.zeros((n, 0), jnp.float32)
+                f = jnp.where(svalid[:, None], f, 0.0)
+                return t, g, f
+
+            def dead_seg(_, n=n):
+                k = 24 if pack == "ride" else 0
+                return (jnp.full((n,), num_tiles, jnp.int32),
+                        jnp.full((n,), -1, jnp.int32),
+                        jnp.zeros((n, k), jnp.float32))
+
+            if s0 == 0:
+                parts.append(live_seg(0))
+            else:
+                parts.append(jax.lax.cond(s0 < total_capped, live_seg, dead_seg, 0))
+        tid = jnp.concatenate([p[0] for p in parts])
+        gid = jnp.concatenate([p[1] for p in parts])
+        feat = jnp.concatenate([p[2] for p in parts])
+        if level == 2 or level == 3:
+            return (jnp.sum(tid) + jnp.sum(gid)).astype(jnp.float32)[None, None] * 1e-20
+        T_sent = num_tiles
+        tid_all = jnp.concatenate([tid, jnp.arange(T_sent, dtype=jnp.int32)])
+        gid_all = jnp.concatenate([gid, jnp.full((T_sent,), -1, jnp.int32)])
+        if pack == "ride":
+            ops = [tid_all, gid_all] + [
+                jnp.concatenate([feat[:, k], jnp.zeros((T_sent,), jnp.float32)])
+                for k in range(24)]
+            out = bn.sort_grouped(tuple(ops), num_keys=1)
+            tid_s, gid_s = out[0], out[1]
+            payload_sum = sum(jnp.sum(o) for o in out[2:])
+        else:
+            tid_s, gid_s = jax.lax.sort((tid_all, gid_all), num_keys=1,
+                                        is_stable=True)
+            payload_sum = 0.0
+        if level == 4:
+            return (jnp.sum(gid_s).astype(jnp.float32) + payload_sum
+                    )[None, None] * 1e-20
+        Bs = B + T_sent
+        flag = (gid_s < 0) & (tid_s < num_tiles)
+        _, pos_s = jax.lax.sort(
+            (jnp.where(flag, 0, 1).astype(jnp.int32),
+             jnp.arange(Bs, dtype=jnp.int32)), num_keys=1, is_stable=True)
+        s_pos = pos_s[:T_sent]
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_pos[:-1]])
+        tile_count = s_pos - prev - 1
+        if level == 5:
+            return (jnp.sum(tile_count) + jnp.sum(gid_s)
+                    ).astype(jnp.float32)[None, None] * 1e-20
+        # level 6: the pack. ride: stack sorted payloads; legacy: (Bs,24)
+        # random-id gather from the P-row table
+        if pack == "ride":
+            rows = jnp.stack(out[2:], axis=0)
+            return jnp.sum(rows).astype(jnp.float32)[None, None] * 1e-20
+        f = feat24[jnp.clip(gid_s, 0, P - 1)]
+        f = jnp.where((gid_s >= 0)[:, None], f, 0.0)
+        return jnp.sum(f).astype(jnp.float32)[None, None] * 1e-20
+
+    names = ["L0 rects+argsort+cumsum", "L1 +owner(merge)", "L2 +expand gather",
+             "L3 +decode/cull", "L4 +tile sort", "L5 +ranges", "L6 +pack"]
+    for pack in ("legacy", "ride"):
+        print(f"== part 3: composed dense pipeline, pack={pack} ==", flush=True)
+        levels = range(7) if pack == "legacy" else [3, 4, 6]
+        for lv in levels:
+            fn = jax.jit(functools.partial(pipeline, level=lv, pack=pack))
+            try:
+                timed(f"[{pack}] {names[lv]}",
+                      lambda bmp: fn(bmp) + jnp.zeros((1, 2)),
+                      jnp.zeros((1, 2)), reps=5, warm=2)
+            except Exception as e:  # keep later levels measurable
+                print(f"[{pack}] {names[lv]} FAILED: {type(e).__name__} {e}",
+                      flush=True)
+
+
 def main():
     if os.environ.get("MB_CPU"):
         # the axon plugin ignores JAX_PLATFORMS; the config update is the
@@ -198,6 +374,8 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "prims"):
         part2_primitives()
+    if which in ("all", "dense"):
+        part3_dense_pipeline()
     if which in ("all", "attr"):
         part1_attribution()
 
