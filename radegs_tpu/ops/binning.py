@@ -275,7 +275,15 @@ def bin_gaussians(
     n_overflow = jnp.maximum(total - B, 0)
 
     # --- expand runs: slot -> owning gaussian ---
-    starts = jnp.where(alive_p & (offsets_p < B), offsets_p, B).astype(jnp.int32)
+    # Every gaussian owns a run — DEAD ones own a ZERO-LENGTH run (touched
+    # 0 => start == the next run's start, so at tied starts the last run,
+    # which is always the next alive one, wins the owner count and dead
+    # runs can never own a slot). This removes the old alive-compaction
+    # (nonzero + perm[alive_pos]) and, more importantly, lets the packed
+    # table be built as ONE (P, k) row gather by ``perm`` instead of ~13
+    # separate P-sized scalar gathers (each a ~20 ms/2M-element slow path
+    # on TPU — the dominant term of the measured dense binning bar).
+    starts = jnp.where(offsets_p < B, offsets_p, B).astype(jnp.int32)
     if _os.environ.get("RADEGS_BIN_OWNER", "merge") == "merge":
         owner = _owner_merge(starts, B)
     else:
@@ -283,34 +291,34 @@ def bin_gaussians(
         # scales with the B-sized target table)
         ones = jnp.zeros((B + 1,), jnp.int32).at[starts].add(1)
         owner = jnp.cumsum(ones[:-1]) - 1  # runs started at or before slot
-    # owner indexes compacted runs; recover gaussian id via the same order:
-    # runs are laid out in depth order, so the i-th alive position of perm.
-    alive_pos = jnp.nonzero(alive_p, size=P, fill_value=P - 1)[0].astype(jnp.int32)
-    ids = perm[alive_pos]  # gaussian id of the i-th (depth-ordered) run
 
-    # ONE packed row gather: B-sized scalar gathers from in-graph sources hit
-    # a ~20ms slow path each on TPU, a single (P,k) row gather is ~2-7ms.
-    # Precise mode rides the SAME gather (its int columns are <= 2^24 — the
-    # exact-integer limit of f32, asserted against instance_budget above)
-    # instead of paying a second B-row gather. With ``features`` the same
-    # gather also carries the 24 blend-feature columns (cull reads xy/conic
-    # from them; only tau stays a dedicated column).
-    int_cols = [ids, offsets_p[alive_pos], jnp.maximum(w[ids], 1),
-                rx_min[ids], ry_min[ids]]
-    cols = [x.astype(jnp.float32) for x in int_cols]
+    # packed run table: elementwise stack in ORIGINAL gaussian order, then
+    # one row gather by perm. Int columns are <= 2^24 (the exact-integer
+    # limit of f32, asserted against instance_budget above). With
+    # ``features`` the same gather also carries the 24 blend-feature
+    # columns (cull reads xy/conic from them; only tau is dedicated).
+    wf = jnp.maximum(w, 1).astype(jnp.float32)
     if features is not None:
-        cols += [tau[ids]]
-        packed = jnp.concatenate(
-            [jnp.stack(cols, axis=1), features[ids]], axis=1)  # (P, 30)
+        orig = jnp.concatenate(
+            [jnp.stack([wf, rx_min.astype(jnp.float32),
+                        ry_min.astype(jnp.float32), tau], axis=1),
+             features], axis=1)  # (P, 4 + 24)
         CULL = dict(cx=6, cy=7, a=8, b=9, c=10, tau=5)
         n_feat = features.shape[1]
-    else:
-        if precise:
-            cols += [xy[ids, 0], xy[ids, 1], a[ids], b[ids],
-                     c[ids], tau[ids]]
-            CULL = dict(cx=5, cy=6, a=7, b=8, c=9, tau=10)
-        packed = jnp.stack(cols, axis=1)  # (P, 5|11), rows in depth-run order
+    elif precise:
+        orig = jnp.stack([wf, rx_min.astype(jnp.float32),
+                          ry_min.astype(jnp.float32),
+                          xy[:, 0], xy[:, 1], a, b, c, tau], axis=1)
+        CULL = dict(cx=5, cy=6, a=7, b=8, c=9, tau=10)
         n_feat = 0
+    else:
+        orig = jnp.stack([wf, rx_min.astype(jnp.float32),
+                          ry_min.astype(jnp.float32)], axis=1)
+        n_feat = 0
+    g_perm = orig[perm]  # the ONE (P, k) row gather
+    packed = jnp.concatenate(
+        [perm.astype(jnp.float32)[:, None],
+         offsets_p.astype(jnp.float32)[:, None], g_perm], axis=1)
 
     # --- segmented expansion: the per-slot gather + decode + exact cull run
     # per 2M-slot block under lax.cond, so blocks entirely past ``total``

@@ -246,19 +246,20 @@ def part3_dense_pipeline():
         total = offsets_p[-1] + touched_p[-1]
         if level == 0:
             return (total + jnp.sum(offsets_p)).astype(jnp.float32)[None, None] * 1e-20
-        starts = jnp.where(alive_p & (offsets_p < B), offsets_p, B).astype(jnp.int32)
+        starts = jnp.where(offsets_p < B, offsets_p, B).astype(jnp.int32)
         owner = bn._owner_merge(starts, B)
         if level == 1:
             return jnp.sum(owner).astype(jnp.float32)[None, None] * 1e-20
-        alive_pos = jnp.nonzero(alive_p, size=P, fill_value=P - 1)[0].astype(jnp.int32)
-        ids = perm[alive_pos]
-        cols = [x.astype(jnp.float32) for x in
-                [ids, offsets_p[alive_pos], jnp.maximum(w[ids], 1),
-                 rx_min[ids], ry_min[ids]]]
-        cols += [tau[ids]]
-        packed = jnp.stack(cols, axis=1)
+        # production pattern: elementwise stack in original order + ONE
+        # (P, k) row gather by perm (replaces ~13 P-sized scalar gathers)
+        wf = jnp.maximum(w, 1).astype(jnp.float32)
+        orig_cols = [wf, rx_min.astype(jnp.float32), ry_min.astype(jnp.float32), tau]
+        orig = jnp.stack(orig_cols, axis=1)
         if pack == "ride":
-            packed = jnp.concatenate([packed, feat24[ids]], axis=1)
+            orig = jnp.concatenate([orig, feat24], axis=1)
+        packed = jnp.concatenate(
+            [perm.astype(jnp.float32)[:, None],
+             offsets_p.astype(jnp.float32)[:, None], orig[perm]], axis=1)
         cull_ix = dict(cx=None, cy=None)  # read from feat or dedicated cols
         total_capped = jnp.minimum(total, B)
 
