@@ -240,9 +240,10 @@ def inner_main(args):
         # scene (demonstrated by --auto): this close-up view has 8.08M
         # instances (overflow probe reported 78k dropped at capacity*4), so
         # grow-on-overflow settles at capacity*8 = 16M; max_per_tile rides
-        # the loop's 4096 cap — at 1024 the silhouette tiles overflow and
-        # work is silently DROPPED, which flatters the timing
-        pcfg = PipelineConfig(max_per_tile=4096, instance_multiplier=8)
+        # the loop's grow policy — 4096 still dropped 34748 instances
+        # (0.43%) on the deepest silhouette tiles, so the honest pin is
+        # 8192 (the Pallas path sizes nothing by it; it's walk depth only)
+        pcfg = PipelineConfig(max_per_tile=8192, instance_multiplier=8)
     step = make_train_step(mcfg, ocfg, pcfg, spatial_lr_scale=5.0)
 
     # report dropped work so the number can't silently lie (keep the

@@ -282,7 +282,11 @@ def autotune_pipeline(pcfg: PipelineConfig, n_ovf: float, t_ovf: float,
               f"(peak {window_peak:.0f}/{budget}): shrinking to {target}",
               flush=True)
         changed = True
-    if t_ovf > 0 and pcfg.max_per_tile < 4096:
+    # cap 16384: the Pallas path sizes nothing by max_per_tile (it only
+    # clamps the per-tile walk), so the cap exists for the XLA-scan path's
+    # (T, K) tile_gauss block; 4096 was measured to still drop 0.43% of
+    # the dense bench's instances (34748 of 8.08M) — a silent-cap smell
+    if t_ovf > 0 and pcfg.max_per_tile < 16384:
         pcfg = replace_cfg(pcfg, max_per_tile=pcfg.max_per_tile * 2)
         print(f"[radegs] tile overflow ({t_ovf:.0f}): growing max_per_tile to "
               f"{pcfg.max_per_tile}", flush=True)
