@@ -1,5 +1,6 @@
 """Static-shape tile binning vs a brute-force NumPy oracle."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -253,3 +254,26 @@ def test_feat_pack_rides_sort_matches_legacy_gather():
     b_seg = bin_gaussians(xy, radius, depth, valid, W, H, features=feats,
                           seg_rows=1024, **kw)
     np.testing.assert_array_equal(legacy, np.asarray(b_seg.feat_pack))
+
+
+def test_sort_grouped_matches_monolithic():
+    """Grouped payload sorts reproduce the monolithic variadic stable sort
+    exactly (identical permutation via stability), for group sizes smaller,
+    equal and larger than the payload count, and with multiple keys."""
+    from radegs_tpu.ops.binning import sort_grouped
+
+    rng = np.random.default_rng(5)
+    n = 4097
+    key = jnp.asarray(rng.integers(0, 50, n).astype(np.int32))
+    key2 = jnp.asarray(rng.integers(0, 7, n).astype(np.int32))
+    pays = tuple(jnp.asarray(rng.normal(size=n).astype(np.float32))
+                 for _ in range(9))
+    want = jax.lax.sort((key,) + pays, num_keys=1, is_stable=True)
+    for g in (2, 3, 9, 100):
+        got = sort_grouped((key,) + pays, num_keys=1, group=g)
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    want2 = jax.lax.sort((key, key2) + pays, num_keys=2, is_stable=True)
+    got2 = sort_grouped((key, key2) + pays, num_keys=2, group=4)
+    for a, b in zip(want2, got2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
