@@ -1208,7 +1208,9 @@ def blend_backward_pallas(
     elif reduce_impl == "scan":
         from radegs_tpu.ops.segsum import reduce_grad_rows_scan
 
-        acc = reduce_grad_rows_scan(grad_inst, total, P, max_run=T)
+        acc = reduce_grad_rows_scan(
+            grad_inst, total, P, max_run=T,
+            seg_rows=(SEGSUM_SEG if SEGSUM_SEG > 0 else 1 << 21))
     else:
         acc = _reduce_grad_rows(grad_inst, total, P)
 

@@ -70,8 +70,9 @@ def _searchsorted_left(keys, queries):
     return lo
 
 
-@functools.partial(jax.jit, static_argnames=("P", "max_run"))
-def reduce_grad_rows_scan(grad_inst, total, P: int, *, max_run: int | None = None):
+@functools.partial(jax.jit, static_argnames=("P", "max_run", "seg_rows"))
+def reduce_grad_rows_scan(grad_inst, total, P: int, *, max_run: int | None = None,
+                          seg_rows: int = 1 << 21):
     """Instance -> gaussian gradient reduction via sort + segmented
     shift-add scan — pure XLA, deterministic, scatter-free, Mosaic-free.
 
@@ -112,19 +113,54 @@ def reduce_grad_rows_scan(grad_inst, total, P: int, *, max_run: int | None = Non
                        for i in range(N_GRAD)),
         num_keys=1)
     key_s = ops[0]
-    acc = jnp.stack(ops[1:], axis=0)  # (N_GRAD, B_out)
+    vals = jnp.stack(ops[1:], axis=0)  # (N_GRAD, B_out)
 
     # segmented inclusive forward scan: after passes d = 1, 2, ..., every
     # position holds its run's sum over the trailing 2^(k+1) window, so the
     # run END holds the full total once 2^(k+1) >= run length.  The dump
     # run (key == P) may be longer — never read.
     bound = min(B_out, max_run) if max_run else B_out
-    d = 1
-    while d < bound:
-        ksh = jnp.concatenate([jnp.full((d,), -1, key_s.dtype), key_s[:-d]])
-        ash = jnp.pad(acc[:, :-d], ((0, 0), (d, 0)))
-        acc = acc + jnp.where((ksh == key_s)[None], ash, 0.0)
-        d *= 2
+
+    def scan_block(kb, ab):
+        d = 1
+        while d < bound:
+            ksh = jnp.concatenate([jnp.full((d,), -1, kb.dtype), kb[:-d]])
+            ash = jnp.pad(ab[:, :-d], ((0, 0), (d, 0)))
+            ab = ab + jnp.where((ksh == kb)[None], ash, 0.0)
+            d *= 2
+        return ab
+
+    if B_out <= seg_rows or (max_run or B_out) >= seg_rows:
+        acc = scan_block(key_s, vals)
+    else:
+        # per-2M-segment scans under lax.cond (dump rows sort to the end,
+        # so trailing all-dead segments skip the passes entirely) + an
+        # EXACT cross-boundary fixup: a run is at most max_run << seg_rows
+        # long, so it crosses at most ONE boundary, and its rows in the
+        # next segment just add the run's completed prefix at the previous
+        # segment's last row.  Fixups are independent across boundaries.
+        n_seg = -(-B_out // seg_rows)
+        pad = n_seg * seg_rows - B_out
+        kp = jnp.pad(key_s, (0, pad), constant_values=P)
+        vp = jnp.pad(vals, ((0, 0), (0, pad)))
+        blocks = []
+        for s in range(n_seg):
+            s0 = s * seg_rows
+            kb = kp[s0:s0 + seg_rows]
+            vb = vp[:, s0:s0 + seg_rows]
+            if s == 0:
+                blocks.append(scan_block(kb, vb))
+            else:
+                blocks.append(jax.lax.cond(
+                    jnp.asarray(s0, jnp.int32) < total,
+                    lambda a, k=kb: scan_block(k, a), lambda a: a, vb))
+        for s in range(1, n_seg):
+            k_b = kp[s * seg_rows - 1]
+            v_b = blocks[s - 1][:, -1]
+            mask = kp[s * seg_rows:(s + 1) * seg_rows] == k_b
+            blocks[s] = blocks[s] + jnp.where(mask[None], v_b[:, None], 0.0)
+        acc = jnp.concatenate(blocks, axis=1)[:, :B_out]
+    del vals
 
     nxt = jnp.concatenate([key_s[1:], jnp.full((1,), -1, key_s.dtype)])
     is_end = (key_s != nxt) & (key_s < P)

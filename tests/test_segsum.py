@@ -211,3 +211,29 @@ def test_scan_reduction_numpy_oracle_and_edges():
     np.testing.assert_allclose(got2.T, want2, atol=1e-4)
     got0 = np.asarray(reduce_grad_rows_scan(gi2, jnp.int32(0), 97))
     assert (got0 == 0).all()
+
+
+def test_scan_reduction_segmented_matches_monolithic():
+    """Per-segment scans + exact cross-boundary fixup == the monolithic
+    scan, including runs that straddle a segment boundary and trailing
+    all-dead segments."""
+    from radegs_tpu.ops.segsum import reduce_grad_rows_scan
+
+    P, B_out, total = 50, 2048, 1500
+    rng = np.random.default_rng(23)
+    g = rng.normal(size=(N_GRAD_PAD, B_out)).astype(np.float32)
+    # runs of ~50 rows (< max_run=64 < seg=256) so several straddle a
+    # 256-row segment boundary without exceeding the scan bound
+    gid = np.sort(rng.integers(0, 40, size=B_out))
+    g[N_GRAD] = gid.astype(np.float32)
+    g[:N_GRAD, total:] = np.nan
+    gi = jnp.asarray(g)
+    mono = reduce_grad_rows_scan(gi, jnp.int32(total), P, max_run=64,
+                                 seg_rows=1 << 21)
+    segd = reduce_grad_rows_scan(gi, jnp.int32(total), P, max_run=64,
+                                 seg_rows=256)
+    np.testing.assert_allclose(np.asarray(segd), np.asarray(mono),
+                               rtol=1e-6, atol=1e-5)
+    want = _reduce_grad_rows(gi, jnp.int32(total), P, seg_rows=B_out)
+    np.testing.assert_allclose(np.asarray(segd), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
