@@ -57,9 +57,10 @@ def decimate_seed_points(points, scales, voxel):
     The reference seeds 9 points per Gaussian (8 corners @3sigma + center,
     gaussian_model.py:399-429) and pays CGAL Delaunay on all of them; on a
     converged surface neighboring splats' seed boxes overlap heavily, so a
-    voxel dedup at ~2 sigma (still finer than the reference's own ~3-sigma
-    within-gaussian seed spacing) drops ~90% of the points without changing
-    which tetra edges cross the surface — cutting the dominant host
+    voxel dedup at ~1 sigma (chamfer within 0.4% of full seeds on the
+    measured quality sweep; 2 sigma costs 11%) drops ~60% of the points
+    without changing which tetra edges cross the surface — cutting the
+    dominant host
     Delaunay term ~15x AND every SDF pass of the binary search ~10x.
     Keeping the max member scale keeps the edge-length filter
     (mesh_extract_tetrahedra.py:107-110) conservative."""
@@ -136,7 +137,7 @@ def extract_mesh_tetrahedra(state, views, kernel_size, bg, masks=None,
     (vertices, faces) and optionally writes out_path.
 
     ``decimate``: voxel size for seed-point dedup before the Delaunay
-    ("auto" = 2 median splat sigmas, None/0 = reference-exact seeds).
+    ("auto" = ONE median splat sigma, None/0 = reference-exact seeds).
     """
     from scipy.spatial import Delaunay
 
@@ -144,14 +145,14 @@ def extract_mesh_tetrahedra(state, views, kernel_size, bg, masks=None,
     if verbose:
         print(f"tetra points: {points.shape[0]}")
     if decimate:
-        # point_scales are 3*sigma_max, so 2*sigma = median(scales)*2/3.
-        # Measured host sweep (600k-splat soak scene, 5.4M seeds): sigma/2
-        # keeps 85% of points and qhull got SLOWER; 2*sigma keeps 10%
-        # (Delaunay 465 s -> 30 s) while staying BELOW the reference's own
-        # ~3-sigma seed spacing, so cells still straddle the surface at
-        # sub-splat scale and the 8-step binary search pins vertices to the
-        # same crossings.
-        voxel = (float(np.median(point_scales)) * (2.0 / 3.0)
+        # point_scales are 3*sigma_max, so k*sigma = median(scales)*k/3.
+        # auto = 1 sigma, chosen by the MEASURED quality sweep
+        # (DECIM_SWEEP_R4_CPU.json, analytic-surface chamfer): 1-sigma
+        # dedup matches full seeds within 0.4% chamfer at ~2x Delaunay
+        # speedup, while the round-3 wall-clock-only choice of 2 sigma
+        # (10% of seeds kept, 465 s -> 30 s) measured an 11% chamfer
+        # penalty. Speed-hungry callers pass an explicit voxel.
+        voxel = (float(np.median(point_scales)) * (1.0 / 3.0)
                  if decimate == "auto" else float(decimate))
         if voxel > 0:
             points, point_scales = decimate_seed_points(
