@@ -168,3 +168,25 @@ def test_segmented_feature_pack_matches_monolithic(scene):
     # every slot any tile's kernel window can read agrees
     ends = np.asarray(binning.tile_start + binning.tile_count)
     assert int(ends.max()) <= n_live
+
+
+def test_feat_ride_env_matches_legacy(scene, monkeypatch):
+    """RADEGS_FEAT_RIDE=1 (pack rides the binning sort) produces the exact
+    same rasterize outputs and gradients as the legacy post-sort gather."""
+    import radegs_tpu.ops.rasterize as rz
+
+    cam, prep = scene
+    bg = jnp.zeros(3)
+
+    def run():
+        out = rz.rasterize(prep, cam, bg, max_per_tile=128,
+                           instance_budget=1 << 11,
+                           backend="pallas_interpret")
+        return out["render"], out["binning"].feat_pack is not None
+
+    monkeypatch.setenv("RADEGS_FEAT_RIDE", "0")
+    img0, ride0 = run()
+    monkeypatch.setenv("RADEGS_FEAT_RIDE", "1")
+    img1, ride1 = run()
+    assert not ride0 and ride1
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
