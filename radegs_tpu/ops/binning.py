@@ -7,8 +7,10 @@ radix-sort 64-bit keys") is re-cast as:
 
 1. ``duplicate``: every Gaussian owns a contiguous run of `tiles_touched`
    slots inside a fixed instance budget ``B`` — runs laid out in DEPTH
-   order (exclusive prefix sum of tile-rect areas over the depth argsort).
-   A scatter-of-ones + cumsum recovers, for each slot, the owning Gaussian;
+   order (exclusive prefix sum of tile-rect areas over the depth argsort;
+   dead Gaussians own zero-length runs). A stable two-sort MERGE of run
+   starts into slot positions recovers, for each slot, the owning Gaussian
+   (the legacy scatter-of-ones + cumsum stays behind $RADEGS_BIN_OWNER);
    the slot's offset inside the run enumerates the rect's tiles row-major —
    exactly duplicateWithKeys (rasterizer_impl.cu:70-111) without atomics or
    dynamic allocation.
