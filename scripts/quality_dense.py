@@ -224,7 +224,17 @@ def main():
                                   kernel_size=mcfg.kernel_size,
                                   max_per_tile=pcfg.max_per_tile)["render"]
             ps.append(float(psnr(jnp.clip(img, 0, 1), gt_img)))
+        # train-view PSNR on a fixed subset: the train/test gap separates
+        # protocol overfit (few orbit views) from real optimization
+        # regressions — the reference logs the same pair (train.py:246-270)
+        pt = []
+        for cam, gt_img, _ in train_views[:len(test_views)]:
+            img = render_compiled(ts.gaussians, cam, bg,
+                                  kernel_size=mcfg.kernel_size,
+                                  max_per_tile=pcfg.max_per_tile)["render"]
+            pt.append(float(psnr(jnp.clip(img, 0, 1), gt_img)))
         rec = {"iter": it, "psnr_test": float(np.mean(ps)),
+               "psnr_train": float(np.mean(pt)),
                "psnr_per_view": ps,
                "n_active": int(ts.gaussians.n_active())}
         eval_log.append(rec)
@@ -267,6 +277,11 @@ def main():
                         mcfg, ocfg, pcfg, log_every=100, callbacks=[on_it],
                         resume_state=resume_state)
     t_train = time.perf_counter() - t0
+
+    # checkpoint-recovery mode (resume iter == --iters): the loop body never
+    # runs, so the callback eval never fires — produce the final eval here
+    if not any(e["iter"] >= args.iters for e in eval_log):
+        eval_test(ts, args.iters)
 
     tail = [s for s in stamps if s[0] >= args.iters * 3 // 4]
     sustained = ((tail[-1][0] - tail[0][0]) / (tail[-1][1] - tail[0][1])
