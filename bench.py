@@ -221,6 +221,11 @@ def inner_main(args):
 
     from radegs_tpu.train.config import ModelConfig, OptimizationConfig, PipelineConfig
     from radegs_tpu.train.loop import autotune_pipeline, init_train_state, make_train_step
+    from radegs_tpu.utils.compilelog import CompileCounter
+
+    # compile-wall accounting (VERDICT r4 #6): a bad autotune choice can cost
+    # a 15-minute Mosaic compile — the artifact must carry that, not hide it
+    compiles = CompileCounter().install()
 
     state, cam, gt = build_scene(scene=args.scene)
     ts = init_train_state(state, jax.random.PRNGKey(0))
@@ -305,6 +310,8 @@ def inner_main(args):
     }
     if parity is not None:
         rec["kernel_parity_max_err"] = float(f"{parity:.3e}")
+    rec["xla_compiles"] = compiles.total
+    rec["compile_wall_s"] = round(compiles.total_s, 1)
     print(json.dumps(rec))
 
 
@@ -426,6 +433,8 @@ def orchestrate(args, argv):
     if drec is not None:
         rec["value_dense"] = drec["value"]
         rec["vs_baseline_dense"] = drec["vs_baseline"]
+        if "compile_wall_s" in drec:
+            rec["compile_wall_s_dense"] = drec["compile_wall_s"]
     else:
         rec["dense_error"] = err_dense[:400]
     print(json.dumps(rec))

@@ -24,6 +24,9 @@ gate() {
   return 1
 }
 
+stamp probe
+gate || exit 1
+
 stamp "1. breakdown dense (one-gather attribution)"
 timeout 1200 python scripts/bench_breakdown.py --scene dense || echo BD_DENSE_FAILED
 

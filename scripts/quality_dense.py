@@ -227,8 +227,12 @@ def main():
         # train-view PSNR on a fixed subset: the train/test gap separates
         # protocol overfit (few orbit views) from real optimization
         # regressions — the reference logs the same pair (train.py:246-270)
+        # strided subset so the train PSNR probe covers the orbit (the
+        # reference samples strided too, train.py: range(5, 30, 5)); a
+        # consecutive prefix clusters the cameras in one arc
+        stride = max(1, len(train_views) // len(test_views))
         pt = []
-        for cam, gt_img, _ in train_views[:len(test_views)]:
+        for cam, gt_img, _ in train_views[::stride][:len(test_views)]:
             img = render_compiled(ts.gaussians, cam, bg,
                                   kernel_size=mcfg.kernel_size,
                                   max_per_tile=pcfg.max_per_tile)["render"]
@@ -262,7 +266,7 @@ def main():
                 save_checkpoint(args.checkpoint, ts, it)
                 print(f"[ckpt] saved at {it}", flush=True)
 
-    resume_state = None
+    resume_state, start_it = None, 0
     if args.checkpoint and os.path.exists(args.checkpoint):
         from radegs_tpu.train.loop import init_train_state
         from radegs_tpu.utils.checkpoint import load_checkpoint
@@ -283,15 +287,25 @@ def main():
     if not any(e["iter"] >= args.iters for e in eval_log):
         eval_test(ts, args.iters)
 
+    # checkpoint-recovery mode (loop ran zero iterations): there IS no
+    # training-throughput measurement — t_train is setup time only. Null the
+    # rate fields so the artifact cannot be read as one (ADVICE r4).
+    recovery_only = start_it >= args.iters or not stamps
     tail = [s for s in stamps if s[0] >= args.iters * 3 // 4]
-    sustained = ((tail[-1][0] - tail[0][0]) / (tail[-1][1] - tail[0][1])
-                 if len(tail) >= 2 else args.iters / t_train)
+    if recovery_only:
+        sustained = None
+        t_train = None
+    elif len(tail) >= 2:
+        sustained = (tail[-1][0] - tail[0][0]) / (tail[-1][1] - tail[0][1])
+    else:
+        sustained = args.iters / t_train
     report = {
         "protocol": "quality_dense analytic-surface (sphere+plane)",
         "iters": args.iters,
         "train_views": len(train_views),
         "test_views": len(test_views),
         "resolution": [W, H],
+        "recovered_from_checkpoint": recovery_only,
         "train_wall_s": t_train,
         "sustained_it_per_s": sustained,
         "it_per_s_by_1k": phase_rates(),
