@@ -105,13 +105,25 @@ def main():
         prep = prep_of(g)
         return jnp.sum(prep.xy) * 1e-20 + jnp.sum(prep.depth) * 1e-20
 
+    def live_binning_sum(b):
+        """Consume EXACTLY the binning outputs the kernels read (the live
+        boundary set of the full pipeline: tile ranges + the id/pack the
+        feature path needs) — nothing more, nothing less. Prefixes that
+        consume a different set measure a different DCE'd program and their
+        deltas are not stage costs (VERDICT r4 #7: the standalone
+        '+binning' prefix measured ABOVE the pack-inclusive one)."""
+        s = (jnp.sum(b.tile_start) + jnp.sum(b.tile_count)).astype(jnp.float32)
+        if b.feat_pack is not None:
+            s = s + jnp.sum(b.feat_pack)
+        else:
+            s = s + jnp.sum(b.gauss_id).astype(jnp.float32)
+        return s * 1e-20
+
     @jax.jit
     def p_binning(g):
         prep = prep_of(g)
         b = binning_of(prep)
-        # depend on the SORTED outputs — returning only n_instances lets XLA
-        # dead-code-eliminate the sort/ranges (measured: it does)
-        return (jnp.sum(b.gauss_id) + jnp.sum(b.tile_start)).astype(jnp.float32) * 1e-20
+        return live_binning_sum(b)
 
     @jax.jit
     def p_pack(g):
@@ -123,7 +135,10 @@ def main():
                   prep.rgb, prep.view_point, prep.camera_plane, prep.ray_plane,
                   prep.normal, prep.ts)
         feat_sorted = packed_or_sorted_features(b, inputs)
-        return jnp.sum(feat_sorted[0]) * 1e-20
+        # the kernel's live set at this cut: the FULL pack + tile ranges
+        return (jnp.sum(feat_sorted)
+                + jnp.sum(b.tile_start).astype(jnp.float32)
+                + jnp.sum(b.tile_count).astype(jnp.float32)) * 1e-20
 
     @jax.jit
     def p_blend_fwd(g):
