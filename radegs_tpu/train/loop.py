@@ -229,6 +229,12 @@ class SceneLike(NamedTuple):
     extent: float
 
 
+class StopTraining(Exception):
+    """Raised by a train() callback to end the loop gracefully (wall-clock
+    budgets): train() returns the current state + history instead of dying
+    in a timeout with the final-eval/mesh phases unreached."""
+
+
 def autotune_pipeline(pcfg: PipelineConfig, n_ovf: float, t_ovf: float,
                       window_peak: float, capacity: int,
                       shrink_check: bool, vis_ovf: float = 0.0,
@@ -475,9 +481,14 @@ def train(
         prev_metrics = metrics
         # callbacks run EVERY iteration; m is floats at log points, else None
         # (callbacks must not force device values off-schedule — each fetch
-        # costs a host sync)
-        for cb in callbacks:
-            cb(it, ts, m)
+        # costs a host sync). A callback may raise StopTraining to end the
+        # loop gracefully (wall-clock budgets): the current state + history
+        # are returned exactly as if the schedule had completed.
+        try:
+            for cb in callbacks:
+                cb(it, ts, m)
+        except StopTraining:
+            break
     if mesh is not None:
         ts = ts.replace(gaussians=to_canonical(ts.gaussians, n_dev))
     return ts, history

@@ -114,6 +114,12 @@ def main():
     ap.add_argument("--width", type=int, default=None,
                     help="override the protocol 1600x1200 (CPU smoke runs)")
     ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--wall_budget", type=float, default=None,
+                    help="training wall-clock budget in seconds: the loop "
+                         "stops GRACEFULLY (StopTraining) when exceeded, so "
+                         "the final eval + mesh extraction still run and "
+                         "the artifact is complete (honest iters_completed) "
+                         "instead of dying in an outer timeout")
     from radegs_tpu.utils.platform import add_device_arg, apply_device
     add_device_arg(ap)
     args = ap.parse_args()
@@ -246,7 +252,23 @@ def main():
         print(f"[eval {it}] test psnr {rec['psnr_test']:.2f} "
               f"({rec['n_active']} splats)", flush=True)
 
+    from radegs_tpu.train.loop import StopTraining
+
+    t_loop0 = time.perf_counter()
+    stopped_at = {"it": None}
+
     def on_it(it, ts, m):
+        if (args.wall_budget is not None and stopped_at["it"] is None
+                and time.perf_counter() - t_loop0 > args.wall_budget):
+            stopped_at["it"] = it
+            eval_test(ts, it)
+            if args.checkpoint:
+                from radegs_tpu.utils.checkpoint import save_checkpoint
+                save_checkpoint(args.checkpoint, ts, it)
+                print(f"[ckpt] saved at {it} (wall budget cut)", flush=True)
+            print(f"[wall budget] stopping gracefully at iteration {it}",
+                  flush=True)
+            raise StopTraining
         if m is not None:
             stamps.append((it, time.perf_counter()))
             print(f"[{it}] psnr {m['psnr']:.2f} loss {m['loss']:.4f} "
@@ -283,25 +305,31 @@ def main():
     t_train = time.perf_counter() - t0
 
     # checkpoint-recovery mode (resume iter == --iters): the loop body never
-    # runs, so the callback eval never fires — produce the final eval here
-    if not any(e["iter"] >= args.iters for e in eval_log):
+    # runs, so the callback eval never fires — produce the final eval here.
+    # (A wall-budget stop already evaluated at its stop iteration.)
+    if stopped_at["it"] is None and \
+            not any(e["iter"] >= args.iters for e in eval_log):
         eval_test(ts, args.iters)
 
     # checkpoint-recovery mode (loop ran zero iterations): there IS no
     # training-throughput measurement — t_train is setup time only. Null the
     # rate fields so the artifact cannot be read as one (ADVICE r4).
-    recovery_only = start_it >= args.iters or not stamps
-    tail = [s for s in stamps if s[0] >= args.iters * 3 // 4]
-    if recovery_only:
+    recovery_only = start_it >= args.iters
+    no_rate = recovery_only or not stamps  # no throughput was measured
+    done_it = stopped_at["it"] or args.iters
+    tail = [s for s in stamps if s[0] >= done_it * 3 // 4]
+    if no_rate:
         sustained = None
         t_train = None
     elif len(tail) >= 2:
         sustained = (tail[-1][0] - tail[0][0]) / (tail[-1][1] - tail[0][1])
     else:
-        sustained = args.iters / t_train
+        sustained = done_it / t_train
     report = {
         "protocol": "quality_dense analytic-surface (sphere+plane)",
         "iters": args.iters,
+        "iters_completed": done_it,
+        "partial": stopped_at["it"] is not None,
         "train_views": len(train_views),
         "test_views": len(test_views),
         "resolution": [W, H],
