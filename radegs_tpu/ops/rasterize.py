@@ -408,13 +408,30 @@ def _blend_backward_scan(cfg: RasterCfg, tile_gauss, inputs, fwd_out, cot):
 # ====================================================== custom_vjp glue ====
 
 
+# tiles per Pallas program (occupancy batching, ops/pallas_blend_mt.py):
+# 1 = the single-tile kernels; >1 amortizes per-program fixed cost over G
+# consecutive tiles (bit-identical outputs, parity-pinned). Env until the
+# device A/B picks the default.
+import os as _os
+
+_TILE_BATCH = int(_os.environ.get("RADEGS_TILE_BATCH", "1"))
+
+
 def _forward_dispatch(cfg: RasterCfg, binning, inputs):
     if cfg.backend in ("pallas", "pallas_interpret"):
+        interp = cfg.backend == "pallas_interpret"
+        if _TILE_BATCH > 1:
+            from radegs_tpu.ops.pallas_blend_mt import blend_forward_pallas_mt
+
+            return blend_forward_pallas_mt(
+                binning, *inputs, width=cfg.width, height=cfg.height,
+                tile=cfg.tile, gbatch=_TILE_BATCH, interpret=interp,
+            )
         from radegs_tpu.ops.pallas_blend import blend_forward_pallas
 
         return blend_forward_pallas(
             binning, *inputs, width=cfg.width, height=cfg.height, tile=cfg.tile,
-            interpret=(cfg.backend == "pallas_interpret"),
+            interpret=interp,
         )
     return _blend_forward_scan(cfg, binning.tile_gauss, inputs)
 
@@ -441,13 +458,23 @@ def _blend_bwd(cfg, res, cot):
     # non-differentiable outputs
     cot["med_pos"] = None
     if cfg.backend in ("pallas", "pallas_interpret"):
-        from radegs_tpu.ops.pallas_blend import blend_backward_pallas
+        if _TILE_BATCH > 1:
+            from radegs_tpu.ops.pallas_blend_mt import blend_backward_pallas_mt
 
-        grads = blend_backward_pallas(
-            binning, inputs, fwd_out, cot,
-            width=cfg.width, height=cfg.height, tile=cfg.tile,
-            interpret=(cfg.backend == "pallas_interpret"),
-        )
+            grads = blend_backward_pallas_mt(
+                binning, inputs, fwd_out, cot,
+                width=cfg.width, height=cfg.height, tile=cfg.tile,
+                gbatch=_TILE_BATCH,
+                interpret=(cfg.backend == "pallas_interpret"),
+            )
+        else:
+            from radegs_tpu.ops.pallas_blend import blend_backward_pallas
+
+            grads = blend_backward_pallas(
+                binning, inputs, fwd_out, cot,
+                width=cfg.width, height=cfg.height, tile=cfg.tile,
+                interpret=(cfg.backend == "pallas_interpret"),
+            )
     else:
         grads = _blend_backward_scan(cfg, binning.tile_gauss, inputs, fwd_out, cot)
     return (
