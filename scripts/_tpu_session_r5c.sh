@@ -3,8 +3,9 @@
 # at final defaults -> the COMPLETE 30k quality run (VERDICT r4 #4).
 #
 # Usage: bash scripts/_tpu_session_r5c.sh <round_deadline_epoch>
-# The 30k run is cut (checkpointed, resumable) so the chip is free for the
-# driver's end-of-round bench: its timeout = deadline - now - 25 min.
+# The 30k run uses quality_dense --wall_budget so it CUTS ITSELF gracefully
+# (final eval + meshes still run) and the chip is free for the driver's
+# end-of-round bench.
 set -u
 cd "$(dirname "$0")/.."
 DEADLINE=${1:-$(( $(date +%s) + 19800 ))}
@@ -21,20 +22,43 @@ gate() {
   echo GATE_FAILED
   return 1
 }
+# last JSON line with a "value" field from a log -> value (0 on failure)
+val() { python -c "
+import json,sys
+v=0.0
+try:
+  for line in open('$1'):
+    line=line.strip()
+    if line.startswith('{'):
+      try: v=json.loads(line).get('value',v)
+      except Exception: pass
+except FileNotFoundError: pass
+print(v)"; }
 
 stamp probe
 gate || exit 1
 
-stamp "1a. multi-tile kernels, gbatch=4 (100k)"
-timeout 2400 env RADEGS_TILE_BATCH=4 python bench.py --scene 100k --no-parity || echo MT4_FAILED
+stamp "1a. 100k baseline (current defaults, single-tile)"
+timeout 1800 python bench.py --scene 100k --no-parity | tee _mt0.json || echo BASE_FAILED
 
 gate || exit 1
-stamp "1b. multi-tile kernels, gbatch=2 (100k)"
-timeout 1800 env RADEGS_TILE_BATCH=2 python bench.py --scene 100k --no-parity || echo MT2_FAILED
+stamp "1b. multi-tile gbatch=4 (100k)"
+timeout 2400 env RADEGS_TILE_BATCH=4 python bench.py --scene 100k --no-parity | tee _mt4.json || echo MT4_FAILED
 
 gate || exit 1
-stamp "1c. multi-tile on-device parity (gbatch=4 vs single-tile, small size)"
-timeout 1200 python - <<'EOF' || echo MT_PARITY_FAILED
+stamp "1c. multi-tile gbatch=2 (100k)"
+timeout 1800 env RADEGS_TILE_BATCH=2 python bench.py --scene 100k --no-parity | tee _mt2.json || echo MT2_FAILED
+
+V0=$(val _mt0.json); V4=$(val _mt4.json); V2=$(val _mt2.json)
+BEST_TB=1
+BEST_V=$V0
+if python -c "import sys; sys.exit(0 if $V2 > $BEST_V else 1)"; then BEST_TB=2; BEST_V=$V2; fi
+if python -c "import sys; sys.exit(0 if $V4 > $BEST_V else 1)"; then BEST_TB=4; BEST_V=$V4; fi
+echo "MT_DECISION base=$V0 tb2=$V2 tb4=$V4 -> RADEGS_TILE_BATCH=$BEST_TB"
+
+gate || exit 1
+stamp "1d. multi-tile on-device parity (gbatch=4 vs single-tile)"
+timeout 1500 python - <<'EOF' || echo MT_PARITY_FAILED
 import numpy as np, jax, jax.numpy as jnp
 from radegs_tpu.core.camera import Camera
 from radegs_tpu.core.projection import preprocess_gaussians
@@ -74,19 +98,21 @@ assert worst == 0.0, worst
 EOF
 
 gate || exit 1
-stamp "2. merged bench, final defaults -> BENCH_r05 candidate"
-timeout 5400 python bench.py | tee _bench_r05_candidate.json || echo BENCH_FINAL_FAILED
+stamp "2. merged bench at winner defaults -> BENCH_r05 candidate"
+timeout 5400 env RADEGS_TILE_BATCH=$BEST_TB python bench.py | tee _bench_r05_candidate.json || echo BENCH_FINAL_FAILED
 
 gate || exit 1
-stamp "3. FULL 30k quality run (32 train / 8 test views, checkpointed)"
+stamp "3. FULL 30k quality run (32 train / 8 test views, wall-budgeted)"
 NOW=$(date +%s)
-QT=$(( DEADLINE - NOW - 1500 ))
-if [ "$QT" -lt 1800 ]; then
-  echo "QUALITY_SKIPPED: only ${QT}s left"
+WB=$(( DEADLINE - NOW - 3300 ))   # GT/compile setup (~15 min) runs before
+# the budget clock starts; final eval + both meshes (~20 min) run after it
+if [ "$WB" -lt 1200 ]; then
+  echo "QUALITY_SKIPPED: only ${WB}s budget left"
 else
-  timeout "$QT" python scripts/quality_dense.py \
+  timeout $(( DEADLINE - NOW - 300 )) env RADEGS_TILE_BATCH=$BEST_TB python scripts/quality_dense.py \
     --iters 30000 --eval_iters 1000 7000 15000 30000 \
     --n_views 40 --eval_every 5 \
+    --wall_budget "$WB" \
     --checkpoint /root/repo/ckpt_q30k_r5 \
     --report QUALITY_r05.json || echo QUALITY_CUT_OR_FAILED
 fi
