@@ -60,11 +60,6 @@ SUB = int(_os0.environ.get("RADEGS_SUB", "128"))
 # (kept as a fallback — flip via env if a Mosaic version rejects the roll)
 _RING_IMPL = _os0.environ.get("RADEGS_RING_IMPL", "roll")
 
-# per-segment sort granularity of the MXU gradient reduction (0 = one
-# monolithic sort); segments let dead budget lanes skip the 26-operand sort
-SEGSUM_SEG = int(_os0.environ.get("RADEGS_SEGSUM_SEG", str(1 << 21)))
-
-
 def _check_sub(chunk: int) -> None:
     subk = min(SUB, chunk)
     if chunk % subk != 0:
@@ -1069,28 +1064,27 @@ def _reduce_grad_rows(grad_inst, total, P, seg_rows: int | None = None):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile", "chunk",
-                                             "interpret", "reduce", "reduce_impl",
-                                             "orient"))
+                                             "interpret", "reduce", "orient"))
 def blend_backward_pallas(
     binning: TileBinning,
     inputs,
     fwd_out,
     cot,
     *, width: int, height: int, tile: int = 16, chunk: int = 128, interpret: bool = False,
-    reduce: bool = True, reduce_impl: str = "auto", orient: str | None = None,
+    reduce: bool = True, orient: str | None = None,
 ):
     """Backward blend via the Pallas kernel: per-tile back-walk emitting
     per-instance gradients, reduced to per-Gaussian deterministically
     (replaces backward.cu:631-1016 + atomicAdd).
 
-    ``reduce_impl``: "scatter" = segmented XLA row scatter-add
-    (_reduce_grad_rows); "scan" = sort + segmented shift-add scan
-    (segsum.reduce_grad_rows_scan — scatter-free, B-proportional; the
-    default at multi-M budgets where scatter cost scales with the P-sized
-    target table); "mxu" = sort + one-hot MXU matmul segment-sum
-    (segsum.reduce_grad_rows_mxu — quarantined: hangs the remote TPU
-    compile, 2026-08-19); "auto" picks scan above 2M instance slots,
-    scatter below.
+    The reduction is the segmented XLA row scatter-add (_reduce_grad_rows)
+    — chosen by measurement. The round-3/4 sort-based alternatives
+    (one-hot MXU segment-sum; shift-add scan) were removed in round 5:
+    every graph routing the 26 gradient columns through `lax.sort` — even
+    in `sort_grouped` groups of 6 — walls the remote TPU compile at both
+    bench scales (four independent one-hour timeouts, BENCH_NOTES round-5
+    session B), which also pins the r4 "mxu hang" to the wide-payload
+    sort pattern rather than the Pallas kernel.
 
     ``reduce=False`` returns the raw per-instance gradient block
     {"raw": (N_GRAD_PAD, B_out)} instead — benchmarking hook that isolates
@@ -1100,10 +1094,11 @@ def blend_backward_pallas(
     "mn" = (14*SUBK, px) @ (px, 16) (N pads 16 -> 128 lanes), "nm" = the
     transposed (16, px) x (14*SUBK, px) contraction (full 448-lane result
     tiles, ~7x fewer MXU row passes, ring-ready orientation). Bit-identical
-    math; None = $RADEGS_BWD_ORIENT or "mn" until the device A/B lands."""
+    math; None = $RADEGS_BWD_ORIENT or "nm" — the measured default
+    (100k bench 15.62M -> 17.65M rays/s, round-5 session B stage 3)."""
     _check_sub(chunk)
     if orient is None:
-        orient = _os.environ.get("RADEGS_BWD_ORIENT", "mn")
+        orient = _os.environ.get("RADEGS_BWD_ORIENT", "nm")
     assert orient in ("mn", "nm"), orient
     xy, conic, opacity, rgb, view_point, camera_plane, ray_plane, normal, ts = inputs
     P = xy.shape[0]
@@ -1184,35 +1179,7 @@ def blend_backward_pallas(
     # are masked by q >= total.
     total_rows = jnp.sum(binning.tile_count)
     total = ((total_rows + chunk - 1) // chunk) * chunk
-    if reduce_impl == "auto":
-        # 2026-08-19 device finding: reduce_grad_rows_mxu HANGS the remote
-        # TPU compile at dense scale (the 100k breakdown died in
-        # '+bwd red(mxu)'; dense bench died once auto crossed the 2M
-        # threshold), while the 26-payload variadic sort it builds on is
-        # sub-ms at 16M rows. auto therefore picks between the scatter-add
-        # (fine at small counts) and the sort+scan reduction (segsum.py:
-        # scatter-free, B-proportional — the scatter's cost scales with the
-        # P-sized TARGET and blows up at dense scale). The Pallas MXU path
-        # stays quarantined behind $RADEGS_REDUCE_IMPL=mxu until the
-        # Mosaic hang is pinned.
-        # default scatter until the scan path's device timing lands
-        # ($RADEGS_REDUCE_IMPL=scan opts in; scan is parity-proven and
-        # B-proportional but its grouped-sort compile cost is unmeasured)
-        reduce_impl = _os.environ.get("RADEGS_REDUCE_IMPL", "scatter")
-    if reduce_impl == "mxu":
-        from radegs_tpu.ops.segsum import reduce_grad_rows_mxu
-
-        acc = reduce_grad_rows_mxu(
-            grad_inst, total, P, interpret=interpret,
-            seg_rows=(SEGSUM_SEG if B_out > SEGSUM_SEG > 0 else None))
-    elif reduce_impl == "scan":
-        from radegs_tpu.ops.segsum import reduce_grad_rows_scan
-
-        acc = reduce_grad_rows_scan(
-            grad_inst, total, P, max_run=T,
-            seg_rows=(SEGSUM_SEG if SEGSUM_SEG > 0 else 1 << 21))
-    else:
-        acc = _reduce_grad_rows(grad_inst, total, P)
+    acc = _reduce_grad_rows(grad_inst, total, P)
 
     return dict(
         xy=acc[0:2].T,

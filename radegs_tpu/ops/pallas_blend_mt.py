@@ -45,7 +45,7 @@ from radegs_tpu.ops.binning import TileBinning, tile_grid
 from radegs_tpu.ops.pallas_blend import (
     ALPHA_EPS, MAX_ALPHA, N_AUX, N_FEAT, N_GRAD, N_GRAD_PAD, N_OUT, PACK_SEG,
     SUB, T_EPS, _check_sub, _cumor0_mxu, _cumprod0, _lower_tri, _mm,
-    _pad_lanes, _reduce_grad_rows, _RING_IMPL, _shift_down, SEGSUM_SEG,
+    _pad_lanes, _reduce_grad_rows, _RING_IMPL, _shift_down,
     packed_or_sorted_features,
 )
 
@@ -738,7 +738,7 @@ def _bwd_kernel_mt(
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile", "chunk",
                                              "gbatch", "interpret", "reduce",
-                                             "reduce_impl", "orient"))
+                                             "orient"))
 def blend_backward_pallas_mt(
     binning: TileBinning,
     inputs,
@@ -746,13 +746,13 @@ def blend_backward_pallas_mt(
     cot,
     *, width: int, height: int, tile: int = 16, chunk: int = 128,
     gbatch: int = 4, interpret: bool = False,
-    reduce: bool = True, reduce_impl: str = "auto", orient: str | None = None,
+    reduce: bool = True, orient: str | None = None,
 ):
     """Backward blend, ``gbatch`` tiles per Pallas program. Same contract
     (and bit-identical gradients) as pallas_blend.blend_backward_pallas."""
     _check_sub(chunk)
     if orient is None:
-        orient = _os.environ.get("RADEGS_BWD_ORIENT", "mn")
+        orient = _os.environ.get("RADEGS_BWD_ORIENT", "nm")
     assert orient in ("mn", "nm"), orient
     xy = inputs[0]
     P = xy.shape[0]
@@ -832,22 +832,7 @@ def blend_backward_pallas_mt(
 
     total_rows = jnp.sum(binning.tile_count)
     total = ((total_rows + chunk - 1) // chunk) * chunk
-    if reduce_impl == "auto":
-        reduce_impl = _os.environ.get("RADEGS_REDUCE_IMPL", "scatter")
-    if reduce_impl == "mxu":
-        from radegs_tpu.ops.segsum import reduce_grad_rows_mxu
-
-        acc = reduce_grad_rows_mxu(
-            grad_inst, total, P, interpret=interpret,
-            seg_rows=(SEGSUM_SEG if B_out > SEGSUM_SEG > 0 else None))
-    elif reduce_impl == "scan":
-        from radegs_tpu.ops.segsum import reduce_grad_rows_scan
-
-        acc = reduce_grad_rows_scan(
-            grad_inst, total, P, max_run=T,
-            seg_rows=(SEGSUM_SEG if SEGSUM_SEG > 0 else 1 << 21))
-    else:
-        acc = _reduce_grad_rows(grad_inst, total, P)
+    acc = _reduce_grad_rows(grad_inst, total, P)
 
     return dict(
         xy=acc[0:2].T,

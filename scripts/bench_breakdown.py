@@ -177,23 +177,14 @@ def main():
 
     @jax.jit
     def p_bwd_blend(g):
-        # + the instance->gaussian reduction (auto impl: scatter vs MXU)
+        # + the instance->gaussian reduction (segmented scatter-add — the
+        # measured winner; the sort-based alternatives were removed in r5,
+        # see ops/pallas_blend.blend_backward_pallas)
         from radegs_tpu.ops.pallas_blend import blend_backward_pallas
 
         b, inputs, fwd, cot = _fwd_and_cot(g)
         grads = blend_backward_pallas(b, inputs, fwd, cot, width=W, height=H)
         return sum(jnp.sum(v) for v in grads.values()) * 1e-20
-
-    def p_bwd_blend_impl(impl):
-        @jax.jit
-        def f(g):
-            from radegs_tpu.ops.pallas_blend import blend_backward_pallas
-
-            b, inputs, fwd, cot = _fwd_and_cot(g)
-            grads = blend_backward_pallas(b, inputs, fwd, cot, width=W,
-                                          height=H, reduce_impl=impl)
-            return sum(jnp.sum(v) for v in grads.values()) * 1e-20
-        return f
 
     @jax.jit
     def p_fwd_loss(g):
@@ -255,11 +246,6 @@ def main():
     if on_tpu:
         t_bk = time_prefix(p_bwd_kernel, "+bwd kernel")
         t_bb = time_prefix(p_bwd_blend, "+bwd reduce")
-        time_prefix(p_bwd_blend_impl("scatter"), "+bwd red(scat)")
-        time_prefix(p_bwd_blend_impl("scan"), "+bwd red(scan)")
-        # "mxu" intentionally absent: reduce_grad_rows_mxu hangs the remote
-        # TPU compile (BENCH_NOTES round-4); probe it only via the isolated
-        # segsum stage of the session chain
     t_loss = time_prefix(p_fwd_loss, "+loss tail")
     t_bwd = time_prefix(p_grads, "+backward")
     ts_run, t_full = time_full()
