@@ -410,11 +410,13 @@ def _blend_backward_scan(cfg: RasterCfg, tile_gauss, inputs, fwd_out, cot):
 
 # tiles per Pallas program (occupancy batching, ops/pallas_blend_mt.py):
 # 1 = the single-tile kernels; >1 amortizes per-program fixed cost over G
-# consecutive tiles (bit-identical outputs, parity-pinned). Env until the
-# device A/B picks the default.
+# consecutive tiles (bit-identical outputs, parity-pinned). Default 2 by
+# device A/B (round-5 session C, 100k bench): G=1 17.67M, G=2 17.95M,
+# G=4 17.74M rays/s — the fixed-cost amortization peaks at 2 and the
+# longer unrolled program starts costing at 4.
 import os as _os
 
-_TILE_BATCH = int(_os.environ.get("RADEGS_TILE_BATCH", "1"))
+_TILE_BATCH = int(_os.environ.get("RADEGS_TILE_BATCH", "2"))
 
 
 def _forward_dispatch(cfg: RasterCfg, binning, inputs):
