@@ -351,10 +351,15 @@ def main():
         from radegs_tpu.mesh.extract_tetra import extract_mesh_tetrahedra
         from radegs_tpu.mesh.tsdf import extract_mesh_tsdf
 
+        # STRIDED 8-view subset so fusion covers the whole orbit: a
+        # consecutive prefix of a dense orbit sees only a fraction of the
+        # ring and craters completeness (r5: 0.065 mean vs 0.018 median
+        # with train_views[:8] of a 40-view orbit)
+        mviews = train_views[::max(1, len(train_views) // 8)][:8]
         mrng = np.random.default_rng(7)
         t1 = time.perf_counter()
         v1, f1 = extract_mesh_tsdf(
-            ts.gaussians, train_views[:8], mcfg.kernel_size, bg,
+            ts.gaussians, mviews, mcfg.kernel_size, bg,
             voxel_size=0.004, out_path="/tmp/quality_tsdf.ply")
         report["tsdf"] = {
             "wall_s": time.perf_counter() - t1, "verts": int(v1.shape[0]),
@@ -364,7 +369,7 @@ def main():
 
         t2 = time.perf_counter()
         v2, f2 = extract_mesh_tetrahedra(
-            ts.gaussians, train_views[:8], mcfg.kernel_size, bg,
+            ts.gaussians, mviews, mcfg.kernel_size, bg,
             out_path="/tmp/quality_tetra.ply")
         report["tetra"] = {
             "wall_s": time.perf_counter() - t2, "verts": int(v2.shape[0]),
